@@ -1,0 +1,89 @@
+"""Single configuration object for the whole framework.
+
+The reference scatters its configuration across the RTL constructor kwargs
+(reference: mfcc/core/mfcc.py:20-21), the build targets
+(mfcc/targets/wav2mfcc.py:19, mfcc/targets/mic2mfcc.py:19) and C #defines that
+must be kept in sync by hand (software/main.c:11-14).  Here one frozen
+dataclass is the source of truth for device code, host protocol and CLI alike.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class MFCCConfig:
+    """Parameters of the MFCC front-end.
+
+    Defaults mirror the reference's USB3 target instantiation
+    (mfcc/targets/wav2mfcc.py:19: ``MFCC(nfft=512, nfilters=32, nceptrums=32)``
+    with core defaults from mfcc/core/mfcc.py:20-21).
+    """
+
+    # Audio / frame geometry -------------------------------------------------
+    width: int = 16             # sample bit width (signed)
+    nfft: int = 512             # FFT size == window length
+    samplerate: int = 16000
+    nfilters: int = 32          # mel filterbank taps
+    nceptrums: int = 32         # cepstra kept (Discard count, mfcc.py:87)
+
+    # Fixed-point parameters (INT path) --------------------------------------
+    window_precision: int = 8   # quarter-LUT bit precision (mfcc.py:49)
+    power_width: int = 30       # PowerSpectrum width_output (mfcc.py:60-62)
+    filter_gain: int = 18       # FilterBank gain (mfcc.py:72)
+    log_width_output: int = 15  # Log2Fix output width (mfcc.py:82)
+
+    @property
+    def hop(self) -> int:
+        """Frame step.  stepsize = nfft//3 (mfcc/core/mfcc.py:43)."""
+        return self.nfft // 3
+
+    @property
+    def windowlen(self) -> int:
+        """Ring-buffer window length; the core uses windowlen == nfft
+        (mfcc/core/mfcc.py:42)."""
+        return self.nfft
+
+    @property
+    def nbins(self) -> int:
+        """Spectrum bins in the INT path: the RTL reads back only the first
+        nfft/2 bins (mfcc/core/fft_stream.py:24,28)."""
+        return self.nfft // 2
+
+    @property
+    def nbins_float(self) -> int:
+        """Spectrum bins in the float path: nfft/2+1 (notebook MFCC-INT.ipynb
+        cell 5 keeps ``1 + FFT_size//2`` bins)."""
+        return self.nfft // 2 + 1
+
+    @property
+    def log_precision(self) -> int:
+        """Fraction bits of the fixed-point log2.
+        precision = width_output - ceil(log2(width)) (mfcc/core/log.py:114);
+        for Log2Fix(16, 15) this is 11 -> Q4.11 output."""
+        import math
+        return self.log_width_output - math.ceil(math.log2(16))
+
+    @property
+    def filter_wsize(self) -> int:
+        """Accumulator half-width of the INT filterbank.  FilterBank defaults
+        width_mul = width = power_width (mfcc/core/filterbank.py:51-55)."""
+        return self.power_width
+
+    def n_frames(self, n_samples: int) -> int:
+        """Frames produced for a signal of ``n_samples`` samples
+        (notebook MFCC-INT.ipynb cell 3: ``(len - FFT)//hop + 1``)."""
+        if n_samples < self.nfft:
+            return 0
+        return (n_samples - self.nfft) // self.hop + 1
+
+
+# Host transport protocol constants (see mfcc_tpu/io/transport.py) -----------
+RESET_WORD = 0x80000000   # soft-reset control word (software/main.c:21-34)
+MAGIC_WORD = 0xA55A       # frame delimiter (mfcc/misc/magic.py:10)
+
+DEFAULT_CONFIG = MFCCConfig()
+# The live UART/mic target keeps 16 cepstra (mfcc/targets/mic2mfcc.py:19).
+MIC_CONFIG = MFCCConfig(nceptrums=16)

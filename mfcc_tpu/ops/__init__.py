@@ -1,0 +1,9 @@
+"""TPU compute ops (JAX / Pallas).
+
+``float_ops``  -- the float pipeline as MXU matmuls + VPU elementwise ops.
+``int_ops``    -- the bit-exact fixed-point pipeline, vectorized int32/int64.
+``framing``    -- pre-emphasis + overlapped frame extraction (shared).
+``pallas_mfcc``-- fused single-kernel float pipeline.
+"""
+
+from . import framing, float_ops, int_ops  # noqa: F401

@@ -1,0 +1,240 @@
+"""Bit-exact fixed-point MFCC pipeline, vectorized for TPU.
+
+Replicates the RTL's integer arithmetic (see mfcc_tpu/ref/int_ref.py for the
+per-stage derivations with reference file:line citations) with int32 lane
+arithmetic wherever 32-bit wraparound provably preserves the reference's
+truncated 16-bit outputs, and int64 only where the datapath genuinely wraps
+mod 2^64 (the FilterBank o_regb accumulator, mfcc/core/filterbank.py:77).
+
+Exactness argument for int32 in the FFT butterfly: the output keeps only
+wrap16((x0 + (sub >> 14)) >> 1); for any k, (sub + k*2^32) >> 14 differs by
+k*2^18 which is 0 mod 2^17, and only the sum mod 2^17 survives the final
+>>1 + 16-bit truncation.  So natural int32 wraparound is invisible in the
+result.  The same argument covers every other int32 stage; the test suite
+asserts element-exact equality with the unbounded-int oracle.
+
+int64 requires x64 mode: wrap public entry points in ``jax.enable_x64()``
+(mfcc_tpu.pipeline does this).  On TPU, s64 elementwise multiply/add/reduce
+are supported by XLA's x64 rewriter (s64 dot_general is NOT -- the filterbank
+therefore uses broadcast-multiply + sum, verified exact on TPU v5e).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import MFCCConfig
+from .. import tables
+from .framing import wrap_signed, preemphasis_int  # noqa: F401  (re-export)
+
+
+# ---------------------------------------------------------------------------
+# Window (mfcc/core/window.py:84)
+# ---------------------------------------------------------------------------
+
+def window_int(frames: jnp.ndarray, nfft: int = 512, precision: int = 8,
+               width: int = 16) -> jnp.ndarray:
+    """(x * curve) >> (precision+1), truncated to ``width`` bits."""
+    curve = jnp.asarray(tables.int_window_curve(nfft, precision), jnp.int32)
+    prod = frames.astype(jnp.int32) * curve
+    return wrap_signed(prod >> (precision + 1), width)
+
+
+# ---------------------------------------------------------------------------
+# Radix-2 DIT FFT (mfcc/misc/fft.py), int32, stages unrolled at trace time
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(size: int, width: int):
+    """Per-stage twiddle vectors (length 2^s) as numpy int32 constants."""
+    twr, twi = tables.twiddle_table(size, width)
+    nstages = int(np.log2(size))
+    out = []
+    for s in range(nstages):
+        stride = 1 << (nstages - 1 - s)
+        out.append((twr[::stride][: 1 << s].astype(np.int32),
+                    twi[::stride][: 1 << s].astype(np.int32)))
+    return out
+
+
+def _butterfly(x0r, x0i, x1r, x1i, twr, twi, width: int):
+    """The Butterfly datapath (mfcc/misc/fft.py:140-192) in int32."""
+    bias = (1 << (width - 3)) - 1          # (1 << bias_width-1) - 1, fft.py:94
+    bias_width = width - 2
+    m0 = (x1r + x1i) * twr
+    m1 = x1i * (twr + twi)
+    m2 = x1r * (twr - twi)
+    sub1 = (m0 + bias - m1) >> bias_width
+    sub2 = (m0 + bias - m2) >> bias_width
+    y0r = wrap_signed((x0r + sub1) >> 1, width)
+    y0i = wrap_signed((x0i + sub2) >> 1, width)
+    y1r = wrap_signed((x0r - sub1) >> 1, width)
+    y1i = wrap_signed((x0i - sub2) >> 1, width)
+    return y0r, y0i, y1r, y1i
+
+
+def fft_int(re: jnp.ndarray, im: jnp.ndarray | None = None,
+            width: int = 16) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Block FFT over the last axis, (..., size) int32 -> (re, im) int32.
+
+    Bit-reversed load (fft.py:413-418) is a constant gather; each of the
+    log2(size) stages is a static reshape-split butterfly over the lane
+    dimension -- the TPU replacement for the 3-bank RAM scheduler
+    (fft.py:197-346), whose banking exists only to feed one butterfly/cycle.
+    """
+    size = re.shape[-1]
+    nstages = int(np.log2(size))
+    assert 1 << nstages == size
+    perm = jnp.asarray(tables.bit_reverse_permutation(size))
+    wr = re.astype(jnp.int32)[..., perm]
+    wi = (jnp.zeros_like(wr) if im is None else im.astype(jnp.int32)[..., perm])
+    lead = wr.shape[:-1]
+
+    for s, (twr_np, twi_np) in enumerate(_stage_twiddles(size, width)):
+        groups = size >> (s + 1)
+        v_r = wr.reshape(lead + (groups, 2, 1 << s))
+        v_i = wi.reshape(lead + (groups, 2, 1 << s))
+        x0r, x1r = v_r[..., 0, :], v_r[..., 1, :]
+        x0i, x1i = v_i[..., 0, :], v_i[..., 1, :]
+        twr = jnp.asarray(twr_np)
+        twi = jnp.asarray(twi_np)
+        y0r, y0i, y1r, y1i = _butterfly(x0r, x0i, x1r, x1i, twr, twi, width)
+        wr = jnp.stack([y0r, y1r], axis=-2).reshape(lead + (size,))
+        wi = jnp.stack([y0i, y1i], axis=-2).reshape(lead + (size,))
+    return wr, wi
+
+
+def fft_stream_int(frames: jnp.ndarray, width: int = 16):
+    """Real input, first nfft//2 bins (mfcc/core/fft_stream.py:24,28)."""
+    re, im = fft_int(frames, None, width)
+    half = frames.shape[-1] // 2
+    return re[..., :half], im[..., :half]
+
+
+# ---------------------------------------------------------------------------
+# Power spectrum (mfcc/core/pow2.py:33,64)
+# ---------------------------------------------------------------------------
+
+def power_int(re: jnp.ndarray, im: jnp.ndarray, width: int = 16,
+              width_output: int = 30) -> jnp.ndarray:
+    """(r*r + i*i) as a 2*width-bit field, keep the top width_output bits.
+    For 16->30: logical shift right by 2 of the mod-2^32 bit pattern."""
+    s = re * re + im * im                      # wraps mod 2^32 in int32
+    shift = jnp.asarray(2 * width - width_output, s.dtype)
+    return jax.lax.shift_right_logical(s, shift)
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (mfcc/core/filterbank.py) -- int64 required
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _fb_constants(sample_rate: int, nfft: int, ntap: int, wsize: int,
+                  gain: int, width_output: int, width: int):
+    import math
+    points = tables.mel_filter_points(sample_rate, nfft, ntap)
+    maxvalrange = int(math.log2(int(points[-1] - points[-3]))) + width + wsize
+    shift = maxvalrange - gain - width_output
+    W = tables.int_filterbank_matrix(sample_rate, nfft, ntap, wsize)
+    return np.array([[int(v) for v in row] for row in W], dtype=np.int64), shift
+
+
+def filterbank_int(power: jnp.ndarray, sample_rate: int = 16000,
+                   nfft: int = 512, ntap: int = 32, wsize: int = 30,
+                   gain: int = 18, width_output: int = 16,
+                   width: int = 30) -> jnp.ndarray:
+    """out[j] = ((power . W[:, j]) >> shift) & (2^width_output - 1) with the
+    exact integer weight matrix (tables.int_filterbank_matrix).  Requires x64
+    (the o_regb accumulator wraps mod 2^64, filterbank.py:77); implemented as
+    broadcast-multiply + reduce because the TPU x64 rewriter has no s64 dot.
+    """
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "filterbank_int needs int64: call under jax.enable_x64() "
+            "(mfcc_tpu.pipeline wraps this for you)")
+    Wnp, shift = _fb_constants(sample_rate, nfft, ntap, wsize, gain,
+                               width_output, width)
+    W = jnp.asarray(Wnp)
+    p64 = power.astype(jnp.int64)
+    acc = jnp.sum(p64[..., :, None] * W, axis=-2)    # wraps mod 2^64
+    return ((acc >> shift) & ((1 << width_output) - 1)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point log2 (mfcc/core/log.py) -- int32, fixed iteration count
+# ---------------------------------------------------------------------------
+
+def log2fix_int(data: jnp.ndarray, width: int = 16,
+                width_output: int = 15) -> jnp.ndarray:
+    """Turner's method, branch-free: clz-style normalize then precision-1
+    square-and-compare rounds (the RTL's serial FSM, log.py:57-102, has a
+    statically bounded trip count so it unrolls exactly)."""
+    import math
+    precision = width_output - math.ceil(math.log2(width))
+    d = data.astype(jnp.int32)
+    d = jnp.where(d == 0, 1, d)                       # log.py:123-126
+    # shifts = floor(log2(d)) via thresholds (d < 2^width)
+    shifts = jnp.zeros_like(d)
+    for j in range(1, width):
+        shifts = shifts + (d >= (1 << j)).astype(jnp.int32)
+    z = (d << precision) >> shifts                    # in [2^p, 2^(p+1))
+    res = shifts << precision
+    b = 1 << (precision - 1)
+    for _ in range(precision - 1):
+        c = z * z                                     # < 2^(2p+2) <= 2^24
+        hi = (c >> (2 * precision + 1)) & 1
+        res = res + jnp.where(hi == 1, b, 0)
+        z = jnp.where(hi == 1, c >> (precision + 1), c >> precision)
+        b >>= 1
+    return res & ((1 << width_output) - 1)
+
+
+# ---------------------------------------------------------------------------
+# DCT via 4N FFT (mfcc/core/dct_stream.py:29-37)
+# ---------------------------------------------------------------------------
+
+def dct_int(x: jnp.ndarray, width: int = 16) -> jnp.ndarray:
+    """buf[2k+1] = x[k], buf[4N-1-2k] = x[k], zeros elsewhere; 4N INT FFT;
+    first N real bins.  The scatter is two static interleaves."""
+    n = x.shape[-1]
+    x = x.astype(jnp.int32)
+    z = jnp.zeros_like(x)
+    first = jnp.stack([z, x], axis=-1).reshape(x.shape[:-1] + (2 * n,))
+    second = jnp.stack([z, x[..., ::-1]], axis=-1).reshape(
+        x.shape[:-1] + (2 * n,))
+    buf = jnp.concatenate([first, second], axis=-1)
+    re, _ = fft_int(buf, None, width)
+    return re[..., :n]
+
+
+# ---------------------------------------------------------------------------
+# Full INT pipeline (mfcc/core/mfcc.py:90-104)
+# ---------------------------------------------------------------------------
+
+def mfcc_int_frames(frames: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
+                    ) -> jnp.ndarray:
+    """Fixed-point pipeline on pre-emphasized int frames:
+    (..., F, nfft) int32 -> (..., F, nceptrums) int32 (int16-range values)."""
+    win = window_int(frames, cfg.nfft, cfg.window_precision, cfg.width)
+    re, im = fft_stream_int(win, cfg.width)
+    power = power_int(re, im, cfg.width, cfg.power_width)
+    mel = filterbank_int(power, cfg.samplerate, cfg.nfft, cfg.nfilters,
+                         cfg.filter_wsize, cfg.filter_gain, 16,
+                         cfg.power_width)
+    logmel = log2fix_int(mel, 16, cfg.log_width_output)
+    cep = dct_int(logmel, cfg.width)
+    return cep[..., : cfg.nceptrums]
+
+
+def mfcc_int_batch(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
+                   ) -> jnp.ndarray:
+    """Full INT pipeline on raw int16-range signals:
+    (..., T) int32 -> (..., F, nceptrums) int32."""
+    from .framing import extract_frames
+    emph = preemphasis_int(audio.astype(jnp.int32))
+    frames = extract_frames(emph, cfg.nfft, cfg.hop)
+    return mfcc_int_frames(frames, cfg)

@@ -1,0 +1,63 @@
+"""JAX float path vs the float64 numpy oracle (the notebooks' executable
+spec), plus internal consistency between the DFT-matmul and rfft methods."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mfcc_tpu import MFCC, MFCCConfig
+from mfcc_tpu.ref import float_ref
+from mfcc_tpu.ops import float_ops
+
+CFG = MFCCConfig()
+
+# f32 accuracy vs float64 on real speech-scale signals: the absolute error
+# is dominated by the spectral dynamic range hitting log2 at quiet mel bins.
+F32_TOL = 5e-4
+
+
+def test_float_pipeline_vs_oracle(audio_int16):
+    want = float_ref.mfcc_float(audio_int16, CFG)
+    got = np.asarray(MFCC(CFG)(jnp.asarray(audio_int16)))
+    assert want.shape == got.shape == (5, 32)
+    assert np.abs(want - got).max() < F32_TOL
+
+
+def test_float_pipeline_vs_oracle_reference_wav(reference_wav):
+    sig = reference_wav[: 512 + 4 * 170]
+    want = float_ref.mfcc_float(sig, CFG)
+    got = np.asarray(MFCC(CFG)(jnp.asarray(sig)))
+    assert np.abs(want - got).max() < F32_TOL
+
+
+def test_dft_and_rfft_methods_agree(audio_int16):
+    a = np.asarray(MFCC(CFG, method="dft")(jnp.asarray(audio_int16)))
+    b = np.asarray(MFCC(CFG, method="rfft")(jnp.asarray(audio_int16)))
+    assert np.abs(a - b).max() < F32_TOL
+
+
+def test_intermediates_shapes(audio_int16):
+    inter = MFCC(CFG).intermediates(jnp.asarray(audio_int16))
+    assert inter["frames"].shape == (5, 512)
+    assert inter["power"].shape == (5, 257)
+    assert inter["filterbank"].shape == (5, 32)
+    assert inter["cepstra"].shape == (5, 32)
+
+
+def test_partial_extractors(audio_int16):
+    from mfcc_tpu.ops import framing
+    import jax
+    x = jnp.asarray(audio_int16, jnp.float32)
+    frames = framing.extract_frames(framing.preemphasis(x), CFG.nfft, CFG.hop)
+    logmel = np.asarray(jax.jit(float_ops.log_mel_frames)(frames))
+    _, inter = float_ref.mfcc_float(audio_int16, CFG, return_intermediates=True)
+    assert np.abs(logmel - np.log2(inter["mel"])).max() < F32_TOL
+
+
+def test_batch_of_streams(audio_int16):
+    """Leading stream axis maps transparently."""
+    batch = np.stack([audio_int16, audio_int16[::-1]])
+    got = np.asarray(MFCC(CFG)(jnp.asarray(batch)))
+    assert got.shape == (2, 5, 32)
+    single = np.asarray(MFCC(CFG)(jnp.asarray(batch[1])))
+    assert np.abs(got[1] - single).max() < 1e-5
