@@ -36,6 +36,8 @@ Precision = Literal["highest", "default", "bf16"]
 def _matmul_precision(precision: Precision):
     if precision == "highest":
         return jax.lax.Precision.HIGHEST
+    if precision == "high":
+        return jax.lax.Precision.HIGH
     if precision == "default":
         return jax.lax.Precision.DEFAULT
     return jax.lax.Precision.DEFAULT  # bf16 handled by dtype
