@@ -7,7 +7,16 @@ vs_baseline is against the reference's derived whole-core throughput of
 ~50k frames/s on its FPGA (BASELINE.md: per-frame cost ~ max(512-cycle
 ingest, 2304-cycle FFT) at 125 MHz).
 
-The bench autotunes over matmul precision modes, keeping only modes whose
+Methodology notes (the axon TPU tunnel makes naive timing lie):
+  * repeated identical (fn, args) calls can be served from a result cache ->
+    every timed iteration perturbs the input with a distinct scalar salt;
+  * block_until_ready through the tunnel is unreliable -> completion is
+    forced by a host readback of a scalar depending on every iteration;
+  * per-call dispatch overhead is ~10 ms -> iterations are enqueued
+    back-to-back (async) so dispatch overlaps device compute, and the batch
+    is large enough that compute dominates.
+
+The bench autotunes over pipeline formulations, keeping only those whose
 accuracy vs the float64 oracle stays within the gate, and reports the
 fastest qualifying configuration.
 """
@@ -20,7 +29,7 @@ import time
 import numpy as np
 
 
-ACCURACY_GATE = 5e-4          # max-abs-err vs float64 oracle on real-scale audio
+ACCURACY_GATE = 5e-4          # max-abs-err vs float64 oracle, real-scale audio
 BASELINE_FRAMES_PER_S = 50e3  # reference FPGA derived throughput (BASELINE.md)
 
 
@@ -33,40 +42,41 @@ def make_audio(S, T, seed=0):
     return np.clip(base[None, :] + noise, -32768, 32767).astype(np.float32)
 
 
-def bench_config(audio, cfg, method, precision, iters, warmup=3):
+def build_fn(cfg, kind):
     import jax
-    import jax.numpy as jnp
     import functools
-    from mfcc_tpu.ops import float_ops
+    from mfcc_tpu.ops import float_ops, pallas_mfcc
 
-    fn = jax.jit(functools.partial(float_ops.mfcc_batch, cfg=cfg,
-                                   method=method, precision=precision))
-    x = jnp.asarray(audio)
-    out = fn(x)
-    out.block_until_ready()
-    for _ in range(warmup):
-        fn(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    nframes = out.shape[0] * out.shape[1]
-    return nframes / dt, fn
+    if kind == "pallas":
+        base = lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg)
+    else:
+        base = functools.partial(float_ops.mfcc_batch, cfg=cfg, method=kind)
+    # salt defeats any result caching; costs one elementwise pass
+    return jax.jit(lambda a, salt: base(a + salt))
 
 
-def accuracy_of(cfg, method, precision):
-    import jax
+def time_fn(fn, x, iters):
     import jax.numpy as jnp
-    import functools
-    from mfcc_tpu.ops import float_ops
+    float(fn(x, jnp.float32(0.0)).sum())               # warm / compile
+    probe = [fn(x, jnp.float32(100.0 + i))[0, 0, 0] for i in range(2)]
+    float(jnp.stack(probe).sum())                      # settle eager helper ops
+    best = float("inf")
+    for rep in range(2):                               # best-of-2 kills order effects
+        t0 = time.perf_counter()
+        acc = [fn(x, jnp.float32(1.0 + 100 * rep + i))[0, 0, 0]
+               for i in range(iters)]
+        float(jnp.stack(acc).sum())                    # force everything
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def accuracy_of(cfg, kind):
+    import jax.numpy as jnp
     from mfcc_tpu.ref import float_ref
-
     sig = make_audio(2, 512 + 4 * 170, seed=7)
     want = np.stack([float_ref.mfcc_float(sig[i], cfg) for i in range(2)])
-    fn = jax.jit(functools.partial(float_ops.mfcc_batch, cfg=cfg,
-                                   method=method, precision=precision))
-    got = np.asarray(fn(jnp.asarray(sig)))
+    fn = build_fn(cfg, kind)
+    got = np.asarray(fn(jnp.asarray(sig), jnp.float32(0.0)))
     return float(np.abs(want - got).max())
 
 
@@ -75,52 +85,52 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small shapes / few iters (CI smoke)")
     ap.add_argument("--streams", type=int, default=None)
-    ap.add_argument("--seconds", type=float, default=None,
-                    help="audio seconds per stream")
+    ap.add_argument("--seconds", type=float, default=None)
     ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
 
+    import jax
+    import jax.numpy as jnp
     from mfcc_tpu.config import MFCCConfig
     cfg = MFCCConfig()
 
     if args.quick:
-        S, T, iters = 32, 512 + 20 * 170, 5
-        candidates = [("dft", "highest")]
+        S, T, iters = 64, 512 + 93 * 170, 6
+        candidates = ["segmented"]
     else:
         S = args.streams or 512
         secs = args.seconds or 4.0
         T = cfg.nfft + int(round((secs * cfg.samplerate - cfg.nfft)
                                  / cfg.hop)) * cfg.hop
-        iters = args.iters or 20
-        candidates = [("dft", "highest"), ("dft", "high"),
-                      ("dft", "default"), ("rfft", "highest")]
+        iters = args.iters or 12
+        candidates = ["segmented", "pallas", "dft"]
 
-    audio = make_audio(S, T)
+    F = cfg.n_frames(T)
+    x = jax.device_put(jnp.asarray(make_audio(S, T)))
+    float(x.sum())  # force residency
+
     best = None
-    details = {}
-    for method, precision in candidates:
-        err = accuracy_of(cfg, method, precision)
-        fps, _ = bench_config(audio, cfg, method, precision, iters)
-        details[f"{method}/{precision}"] = dict(
-            frames_per_s=round(fps), max_abs_err=err,
-            qualified=err <= ACCURACY_GATE)
-        if err <= ACCURACY_GATE and (best is None or fps > best[0]):
-            best = (fps, method, precision)
-        print(f"# {method}/{precision}: {fps/1e6:.3f} Mframes/s, "
-              f"err={err:.2e} {'OK' if err <= ACCURACY_GATE else 'REJECT'}",
-              file=sys.stderr)
+    for kind in candidates:
+        err = accuracy_of(cfg, kind)
+        fn = build_fn(cfg, kind)
+        dt = time_fn(fn, x, iters)
+        fps = S * F / dt
+        ok = err <= ACCURACY_GATE
+        print(f"# {kind}: {fps/1e6:.3f} Mframes/s ({dt*1e3:.2f} ms/iter), "
+              f"err={err:.2e} {'OK' if ok else 'REJECT'}", file=sys.stderr)
+        if ok and (best is None or fps > best[0]):
+            best = (fps, kind)
 
     if best is None:
         print(json.dumps({"metric": "mfcc_frames_per_second", "value": 0,
                           "unit": "frames/s", "vs_baseline": 0.0}))
         return 1
 
-    fps = best[0]
     print(json.dumps({
         "metric": "mfcc_frames_per_second",
-        "value": round(fps, 1),
+        "value": round(best[0], 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FRAMES_PER_S, 2),
+        "vs_baseline": round(best[0] / BASELINE_FRAMES_PER_S, 2),
     }))
     return 0
 

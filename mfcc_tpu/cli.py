@@ -1,0 +1,272 @@
+"""Command-line surface: ``python -m mfcc_tpu.cli <command>``.
+
+Mirrors the reference's console scripts and host tools (setup.py:25-31,
+software/):
+
+  convert   batch wav dir -> .mfcc int16 files     (wav2mfcc + main.c:206-247)
+  stream    sample-word stream -> framed features  (mic2mfcc + recv)
+  recv      decode a framed feature stream          (recv.py/recv.c)
+  goldens   librosa-recipe .spec/.sklearn goldens   (genlibrosa.py)
+  lift      cepstral liftering of .mfcc files       (lift.py)
+  view      5-panel comparison figure               (view.py)
+  selftest  pipeline simulation vs the oracles      (mfcc-sim)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _fe(args):
+    from .config import MFCCConfig
+    from .pipeline import MFCC
+    cfg = MFCCConfig(nceptrums=args.ncep)
+    return MFCC(cfg), cfg
+
+
+def cmd_convert(args) -> int:
+    """Recursive wav -> .mfcc conversion (int16), batched onto the TPU.
+
+    Output format matches the reference host converter: per frame,
+    ``nceptrums`` int16 values appended to <name>.mfcc (main.c:154-165).
+    The INT path (default) writes the RTL's exact fixed-point cepstra;
+    --float writes the float pipeline rounded to int16.
+    """
+    from .io import wav as wavio
+    fe, cfg = _fe(args)
+
+    paths = wavio.walk_wavs(args.path) if os.path.isdir(args.path) else [args.path]
+    if not paths:
+        print(f"no wav files under {args.path}", file=sys.stderr)
+        return 1
+
+    for i in range(0, len(paths), args.batch):
+        chunk = paths[i: i + args.batch]
+        mat, lengths, rates = wavio.read_batch(chunk)
+        for r in rates[rates > 0]:
+            if r != cfg.samplerate:
+                print(f"warning: sample rate {r} != {cfg.samplerate}",
+                      file=sys.stderr)
+        if args.float:
+            feats = np.asarray(fe(mat.astype(np.float32)))
+            feats = np.clip(np.round(feats), -32768, 32767).astype(np.int16)
+        else:
+            feats = np.asarray(fe.int(mat.astype(np.int64))).astype(np.int16)
+        for j, p in enumerate(chunk):
+            nf = cfg.n_frames(int(lengths[j]))
+            out = os.path.splitext(p)[0] + ".mfcc"
+            feats[j, :nf].tofile(out)
+            print(f"{p} -> {out} ({nf} frames)")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Read 32-bit sample words (file or stdin), run the streaming pipeline,
+    write magic-framed big-endian features (file or stdout).
+
+    The host-side twin of the wav2mfcc target's soft-reset protocol
+    (words with bit 31 set reset the stream) combined with the mic2mfcc
+    target's framed output."""
+    from .io import transport
+    from .streaming import StreamingMFCC
+    from .config import MFCCConfig
+
+    cfg = MFCCConfig(nceptrums=args.ncep)
+    data = (sys.stdin.buffer.read() if args.infile == "-"
+            else open(args.infile, "rb").read())
+    words = np.frombuffer(data, dtype="<u4")
+    samples, resets = transport.decode_stream(words)
+
+    sm = StreamingMFCC(cfg, int_path=not args.float)
+    state = sm.init(1)
+    out = sys.stdout.buffer if args.outfile == "-" else open(args.outfile, "wb")
+    C = args.chunk
+    n = (len(samples) // C) * C
+    for ci in range(0, n, C):
+        chunk = samples[ci: ci + C][None, :].astype(np.int64)
+        reset = np.array([bool(resets[ci: ci + C][0]) if args.reset_chunked
+                          else bool(resets[ci])])
+        feats, mask, state = sm.step(chunk, state, reset)
+        valid = np.asarray(feats)[0][np.asarray(mask)[0]]
+        if args.float:
+            valid = np.clip(np.round(valid), -32768, 32767)
+        out.write(transport.encode_frames(valid.astype(np.int16)))
+    if out is not sys.stdout.buffer:
+        out.close()
+    return 0
+
+
+def cmd_recv(args) -> int:
+    """Decode a magic-framed feature byte stream (recv.py:12-42)."""
+    from .io import transport
+    data = (sys.stdin.buffer.read() if args.infile == "-"
+            else open(args.infile, "rb").read())
+    cep, consumed = transport.decode_frames(data, args.ncep)
+    print(f"decoded {cep.shape[0]} frames ({consumed} bytes)", file=sys.stderr)
+    if args.outfile:
+        cep.astype(np.int16).tofile(args.outfile)
+    else:
+        np.savetxt(sys.stdout, cep, fmt="%d")
+    return 0
+
+
+def cmd_goldens(args) -> int:
+    """librosa-recipe goldens: <name>.spec (int16 mfcc) and <name>.sklearn
+    (int16 per-row standardized), as genlibrosa.py:14-28."""
+    from .io import wav as wavio
+    from .compat import librosa_mfcc as lr
+
+    paths = wavio.walk_wavs(args.path) if os.path.isdir(args.path) else [args.path]
+    for p in paths:
+        samples, sr = wavio.read(p)
+        spec = lr.mfcc(samples, sr=sr, hop=170, n_mfcc=args.ncep)
+        scale = lr.sklearn_scale(spec, axis=1)
+        spec.astype(np.int16).tofile(os.path.splitext(p)[0] + ".spec")
+        scale.astype(np.int16).tofile(os.path.splitext(p)[0] + ".sklearn")
+        print(f"{p} -> .spec/.sklearn ({spec.shape[1]} frames)")
+    return 0
+
+
+def cmd_lift(args) -> int:
+    """Cepstral liftering of .mfcc files -> .lift (lift.py:29-40)."""
+    from .utils.liftering import lifter
+    import glob
+    pattern = (os.path.join(args.path, "**", "*.mfcc")
+               if os.path.isdir(args.path) else args.path)
+    for p in sorted(glob.glob(pattern, recursive=True)):
+        arr = np.fromfile(p, dtype=np.int16).reshape(-1, args.ncep)
+        out = os.path.splitext(p)[0] + ".lift"
+        lifter(arr, args.L).astype(np.int16).tofile(out)
+        print(f"{p} -> {out} ({arr.shape[0]} frames)")
+    return 0
+
+
+def cmd_view(args) -> int:
+    """5-panel comparison figure: wav, .mfcc, .lift, .spec, .sklearn
+    (view.py:18-53).  Saves <basename>_view.png (headless-friendly)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from .io import wav as wavio
+
+    base = args.basename
+    fig, axs = plt.subplots(5, figsize=(15, 8))
+    samples, sr = wavio.read(base + ".wav")
+    axs[0].plot(np.linspace(0, len(samples) / sr, num=len(samples)), samples)
+    axs[0].grid(True)
+    axs[0].set_ylabel("wav")
+
+    panels = [(".mfcc", "mfcc", (-1, args.ncep), False),
+              (".lift", "lift", (-1, args.ncep), False),
+              (".spec", "librosa", (args.ncep, -1), True),
+              (".sklearn", "sklearn", (args.ncep, -1), True)]
+    for ax, (ext, label, shape, rowmajor) in zip(axs[1:], panels):
+        try:
+            raw = np.fromfile(base + ext, dtype=np.int16).reshape(shape)
+            img = raw if rowmajor else raw.T
+            ax.imshow(img, aspect="auto", origin="lower", cmap="inferno")
+        except (FileNotFoundError, ValueError):
+            ax.text(0.4, 0.5, f"({ext} missing)")
+        ax.set_ylabel(label)
+    out = base + "_view.png"
+    fig.savefig(out, dpi=100)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    """End-to-end pipeline check against the oracles (the mfcc-sim role,
+    mfcc/core/mfcc.py:120-204), asserted instead of visual."""
+    from .config import MFCCConfig
+    from .pipeline import MFCC
+    from .ref import int_ref, float_ref
+
+    cfg = MFCCConfig()
+    ref_wav = "/root/reference/f2bjrop1.0.wav"
+    if os.path.exists(ref_wav):
+        from .io import wav as wavio
+        sig, _ = wavio.read(ref_wav)
+        sig = sig[: 512 + 10 * 170]
+    else:
+        rng = np.random.default_rng(0)
+        t = np.arange(512 + 10 * 170) / 16000
+        sig = np.clip(8000 * np.sin(2 * np.pi * 800 * t)
+                      + rng.integers(-2000, 2000, len(t)), -32768, 32767
+                      ).astype(np.int16)
+
+    fe = MFCC(cfg)
+    ok = True
+    want_int = int_ref.mfcc_int(sig.astype(np.int64), cfg)
+    got_int = np.asarray(fe.int(sig.astype(np.int64)))
+    exact = np.array_equal(want_int, got_int)
+    print(f"INT path bit-exact vs RTL oracle: {'PASS' if exact else 'FAIL'}")
+    ok &= exact
+
+    want_f = float_ref.mfcc_float(sig, cfg)
+    got_f = np.asarray(fe(sig.astype(np.float32)))
+    err = float(np.abs(want_f - got_f).max())
+    fok = err < 5e-4
+    print(f"float path vs float64 oracle: max|err|={err:.2e} "
+          f"{'PASS' if fok else 'FAIL'}")
+    ok &= fok
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mfcc_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("convert", help="wav dir -> .mfcc files")
+    p.add_argument("path")
+    p.add_argument("--float", action="store_true",
+                   help="float pipeline instead of bit-exact INT")
+    p.add_argument("--ncep", type=int, default=32)
+    p.add_argument("--batch", type=int, default=64)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("stream", help="sample words -> framed features")
+    p.add_argument("infile", help="'-' for stdin (little-endian uint32 words)")
+    p.add_argument("outfile", nargs="?", default="-")
+    p.add_argument("--chunk", type=int, default=1024)
+    p.add_argument("--ncep", type=int, default=16)
+    p.add_argument("--float", action="store_true")
+    p.add_argument("--reset-chunked", action="store_true")
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("recv", help="decode framed feature stream")
+    p.add_argument("infile")
+    p.add_argument("outfile", nargs="?")
+    p.add_argument("--ncep", type=int, default=16)
+    p.set_defaults(fn=cmd_recv)
+
+    p = sub.add_parser("goldens", help="librosa-recipe .spec/.sklearn goldens")
+    p.add_argument("path")
+    p.add_argument("--ncep", type=int, default=32)
+    p.set_defaults(fn=cmd_goldens)
+
+    p = sub.add_parser("lift", help="cepstral liftering of .mfcc files")
+    p.add_argument("path")
+    p.add_argument("--ncep", type=int, default=32)
+    p.add_argument("-L", type=int, default=22)
+    p.set_defaults(fn=cmd_lift)
+
+    p = sub.add_parser("view", help="comparison panels -> png")
+    p.add_argument("basename")
+    p.add_argument("--ncep", type=int, default=32)
+    p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("selftest", help="pipeline vs oracles")
+    p.set_defaults(fn=cmd_selftest)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""Framed wire protocols, host side (pure Python; native fast path in
+io.native).
+
+Two links, mirroring the reference:
+
+* Sample-stream words (the USB3/FT601 format, software/main.c:128-151):
+  one 32-bit word per sample, int16 in the low half; a word with bit 31 set
+  is a soft reset consumed before the following samples (main.c:21-34,
+  targets/wav2mfcc.py:27-36).
+
+* Magic-framed feature columns (the UART format): 0xa55a then ncep
+  big-endian int16 coefficients per frame (mfcc/misc/magic.py:9-41,
+  mic2mfcc.py:56-74); readers resynchronize on the magic after any byte
+  loss (software/serial.c:89-122).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import RESET_WORD, MAGIC_WORD
+from . import native
+
+
+# -- Sample-stream words ------------------------------------------------------
+
+def encode_stream(samples: np.ndarray, reset_first: bool = False) -> np.ndarray:
+    """int16 samples -> uint32 words (optionally preceded by a reset word)."""
+    samples = np.asarray(samples, dtype=np.int16)
+    words = samples.astype(np.uint16).astype(np.uint32)
+    if reset_first:
+        words = np.concatenate([[np.uint32(RESET_WORD)], words])
+    return words
+
+
+def decode_stream(words: np.ndarray):
+    """uint32 words -> (samples int16, resets bool); resets[i] True when a
+    reset word preceded sample i."""
+    words = np.asarray(words, dtype=np.uint32)
+    is_reset = (words & np.uint32(RESET_WORD)) != 0
+    samples = (words[~is_reset] & np.uint32(0xFFFF)).astype(np.uint16
+                                                            ).astype(np.int16)
+    # a reset applies to the next surviving sample
+    resets = np.zeros(len(samples), dtype=bool)
+    idx = np.flatnonzero(is_reset)
+    if len(idx):
+        keep_pos = np.cumsum(~is_reset) - 1     # sample index per word
+        for i in idx:
+            nxt = keep_pos[i] + 1
+            if nxt < len(samples):
+                resets[nxt] = True
+    return samples, resets
+
+
+# -- Magic-framed feature columns ---------------------------------------------
+
+def encode_frames(cep: np.ndarray, prefer_native: bool = True) -> bytes:
+    """(F, ncep) int16 -> framed big-endian byte stream."""
+    cep = np.ascontiguousarray(cep, dtype=np.int16)
+    if prefer_native and native.available():
+        return native.encode_frames(cep)
+    F, ncep = cep.shape
+    out = bytearray()
+    magic = MAGIC_WORD.to_bytes(2, "big")
+    be = cep.astype(">i2")
+    for f in range(F):
+        out += magic
+        out += be[f].tobytes()
+    return bytes(out)
+
+
+def decode_frames(data: bytes, ncep: int, prefer_native: bool = True):
+    """Framed byte stream -> ((F, ncep) int16, consumed).
+
+    Resynchronizes on 0xa55a, tolerating garbage/byte loss between frames.
+    ``consumed`` is how many bytes were definitively processed -- callers
+    keep the remainder for the next read (streaming)."""
+    if prefer_native and native.available():
+        return native.decode_frames(data, ncep)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    frames = []
+    pos = 0
+    consumed = 0
+    frame_bytes = 2 * ncep
+    while True:
+        sync = -1
+        for i in range(pos, len(buf) - 1):
+            if buf[i] == 0xA5 and buf[i + 1] == 0x5A:
+                sync = i + 2
+                break
+        if sync < 0:
+            consumed = max(len(buf) - 1, consumed)
+            break
+        if sync + frame_bytes > len(buf):
+            consumed = sync - 2
+            break
+        col = buf[sync: sync + frame_bytes].view(">i2").astype(np.int16)
+        frames.append(col)
+        pos = sync + frame_bytes
+        consumed = pos
+    out = (np.stack(frames) if frames
+           else np.zeros((0, ncep), dtype=np.int16))
+    return out, consumed

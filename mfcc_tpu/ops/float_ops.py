@@ -60,6 +60,62 @@ def _operators(cfg: MFCCConfig, dtype_name: str):
             jnp.asarray(dct, dtype))
 
 
+@functools.lru_cache(maxsize=None)
+def _segment_operators_np(cfg: MFCCConfig):
+    """The windowed-DFT operator split along the frame axis into hop-sized
+    segments: frame i = [seg_i | seg_{i+1} | seg_{i+2} | first 2 of seg_{i+3}]
+    for nfft=512 = 3*hop + 2.  Lets the DFT run as shifted matmuls over the
+    (L, hop) reshape of the signal -- overlapped framing with NO gather and
+    no frame materialization (the TPU answer to the ring buffer's overlap
+    re-reads, mfcc/core/frame.py:86-114)."""
+    CS, _, _ = _operators_np(cfg)
+    hop, nfft = cfg.hop, cfg.nfft
+    nseg = nfft // hop
+    rem = nfft - nseg * hop
+    segs = [CS[q * hop: (q + 1) * hop] for q in range(nseg)]
+    tail = CS[nseg * hop:] if rem else None
+    return segs, tail, nseg, rem
+
+
+def mfcc_segmented(audio_emph: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                   *, precision: Precision = "highest",
+                   dtype=jnp.float32, mel_floor: float = 0.0) -> jnp.ndarray:
+    """Float pipeline on EMPHASIZED audio via segment matmuls:
+    (..., T) -> (..., F, nceptrums).  Numerically the same spec as
+    mfcc_frames(method='dft'); fastest formulation on TPU."""
+    x = audio_emph.astype(dtype)
+    T = x.shape[-1]
+    hop, nfft = cfg.hop, cfg.nfft
+    F = cfg.n_frames(T)
+    segs_np, tail_np, nseg, rem = _segment_operators_np(cfg)
+    L = F + nseg + (1 if rem else 0)   # segment rows needed
+    need = L * hop
+    if need > T:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - T)])
+    X = x[..., : need].reshape(x.shape[:-1] + (L, hop))
+
+    prec = _matmul_precision(precision)
+    nbins = cfg.nbins_float
+    reim = None
+    for q in range(nseg):
+        t = jnp.matmul(X[..., q: q + F, :], jnp.asarray(segs_np[q], dtype),
+                       precision=prec)
+        reim = t if reim is None else reim + t
+    if rem:
+        t = jnp.matmul(X[..., nseg: nseg + F, :rem],
+                       jnp.asarray(tail_np, dtype), precision=prec)
+        reim = reim + t
+
+    re, im = reim[..., :nbins], reim[..., nbins:]
+    power = re * re + im * im
+    _, mel, dct = _operators(cfg, jnp.dtype(dtype).name)
+    melspec = jnp.matmul(power, mel, precision=prec)
+    if mel_floor:
+        melspec = jnp.maximum(melspec, mel_floor)
+    logmel = jnp.log2(melspec)
+    return jnp.matmul(logmel, dct, precision=prec)
+
+
 def mfcc_frames(frames: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
                 method: str = "dft", precision: Precision = "highest",
                 dtype=jnp.float32, mel_floor: float = 0.0) -> jnp.ndarray:
@@ -97,6 +153,9 @@ def mfcc_batch(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
     """Full float pipeline on raw signals: (..., T) -> (..., F, nceptrums)."""
     x = audio.astype(dtype)
     emph = framing.preemphasis(x)
+    if method == "segmented":
+        return mfcc_segmented(emph, cfg, precision=precision, dtype=dtype,
+                              mel_floor=mel_floor)
     frames = framing.extract_frames(emph, cfg.nfft, cfg.hop)
     return mfcc_frames(frames, cfg, method=method, precision=precision,
                        dtype=dtype, mel_floor=mel_floor)
