@@ -1,0 +1,116 @@
+"""Model family, serving layer, differentiability, CLI selftest."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mfcc_tpu import MFCCConfig
+from mfcc_tpu.models import (Spectrogram, MelSpectrogram, LogMelSpectrogram,
+                             MFCCFeatures, IntMFCCFeatures, LibrosaMFCC)
+from mfcc_tpu.ref import float_ref, int_ref
+
+CFG = MFCCConfig()
+
+
+def test_model_family_consistency(audio_int16):
+    """Each truncation of the pipeline agrees with the full oracle's
+    intermediates."""
+    _, inter = float_ref.mfcc_float(audio_int16, CFG, return_intermediates=True)
+    spec = np.asarray(Spectrogram(CFG)(audio_int16))
+    assert spec.shape == (5, 257)
+    assert np.abs(spec - inter["power"]).max() / inter["power"].max() < 1e-5
+
+    mel = np.asarray(MelSpectrogram(CFG)(audio_int16))
+    assert np.abs(mel - inter["mel"]).max() / inter["mel"].max() < 1e-5
+
+    logmel = np.asarray(LogMelSpectrogram(CFG)(audio_int16))
+    assert np.abs(logmel - np.log2(inter["mel"])).max() < 5e-4
+
+    cep = np.asarray(MFCCFeatures(CFG)(audio_int16))
+    assert np.abs(cep - float_ref.mfcc_float(audio_int16, CFG)).max() < 5e-4
+
+    icep = np.asarray(IntMFCCFeatures(CFG)(audio_int16.astype(np.int64)))
+    assert np.array_equal(icep, int_ref.mfcc_int(audio_int16.astype(np.int64),
+                                                 CFG))
+
+
+def test_librosa_jax_matches_numpy_recipe(audio_int16):
+    from mfcc_tpu.compat import librosa_mfcc as lr
+    want = lr.mfcc(audio_int16, sr=16000, hop=170, n_mfcc=32)
+    got = np.asarray(LibrosaMFCC()(audio_int16))
+    assert got.shape == want.shape
+    assert np.abs(want - got).max() < 2e-2   # f32 vs f64, dB scale
+
+
+def test_differentiable_front_end(audio_int16):
+    """The float pipeline is a trainable front-end: grads flow to the audio
+    (and would flow to any learnable filterbank)."""
+    from mfcc_tpu.ops import float_ops
+    x = jnp.asarray(audio_int16[:852], jnp.float32)
+
+    def loss(a):
+        cep = float_ops.mfcc_batch(a[None], CFG, mel_floor=1e-6)
+        return jnp.sum(cep ** 2)
+
+    g = jax.jit(jax.grad(loss))(x)
+    g = np.asarray(g)
+    assert g.shape == x.shape
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+
+def test_feature_server_roundtrip(audio_int16):
+    """TCP serving: wire-protocol in/out, bit-exact vs the INT oracle,
+    including a mid-stream soft reset."""
+    from mfcc_tpu.server import FeatureServer, stream_samples
+    from mfcc_tpu.io import transport
+    import socket
+
+    sig = audio_int16[:1024]
+    want = int_ref.mfcc_int(sig.astype(np.int64), CFG)  # 4 frames
+    srv = FeatureServer(CFG, max_streams=2, chunk=1024).start()
+    try:
+        host, port = srv.address
+        got = stream_samples(host, port, sig, CFG.nceptrums,
+                             expect_frames=want.shape[0], timeout=90)
+        assert got.shape[0] >= want.shape[0]
+        assert np.array_equal(got[: len(want)], want.astype(np.int16))
+
+        # mid-stream reset: [sig | RESET | sig] must produce want twice
+        words = np.concatenate([
+            transport.encode_stream(sig, reset_first=True),
+            transport.encode_stream(sig, reset_first=True)])
+        with socket.create_connection((host, port), timeout=90) as sock:
+            sock.sendall(words.astype("<u4").tobytes())
+            sock.settimeout(90)
+            buf = b""
+            while True:
+                cols, _ = transport.decode_frames(buf, CFG.nceptrums)
+                if len(cols) >= 2 * len(want):
+                    break
+                data = sock.recv(65536)
+                if not data:
+                    break
+                buf += data
+        assert np.array_equal(cols[: len(want)], want.astype(np.int16))
+        assert np.array_equal(cols[len(want): 2 * len(want)],
+                              want.astype(np.int16))
+    finally:
+        srv.stop()
+
+
+def test_f64_high_accuracy_mode(audio_int16):
+    """Golden-accuracy mode: float64 pipeline under x64 (on TPU the x64
+    rewriter emulates f64; exactness vs the numpy oracle is ~1e-9)."""
+    from mfcc_tpu.ops import float_ops
+    import functools
+    want = float_ref.mfcc_float(audio_int16, CFG)
+    with jax.enable_x64():
+        fn = jax.jit(functools.partial(float_ops.mfcc_batch, cfg=CFG,
+                                       method="rfft", dtype=jnp.float64))
+        try:
+            got = np.asarray(fn(jnp.asarray(audio_int16, jnp.float64)))
+        except Exception as e:  # pragma: no cover - backend-dependent
+            pytest.skip(f"f64 unsupported on this backend: {e}")
+    assert np.abs(want - got).max() < 1e-8
