@@ -49,6 +49,11 @@ def build_fn(cfg, kind):
 
     if kind == "pallas":
         base = lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg)
+    elif kind == "pallas-split":
+        base = lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg, split=True)
+    elif kind.endswith("-split"):
+        base = functools.partial(float_ops.mfcc_batch, cfg=cfg,
+                                 method=kind[:-6], precision="split")
     else:
         base = functools.partial(float_ops.mfcc_batch, cfg=cfg, method=kind)
     # salt defeats any result caching; costs one elementwise pass
@@ -103,7 +108,7 @@ def main():
         T = cfg.nfft + int(round((secs * cfg.samplerate - cfg.nfft)
                                  / cfg.hop)) * cfg.hop
         iters = args.iters or 12
-        candidates = ["segmented", "pallas", "dft"]
+        candidates = ["pallas-split", "pallas", "dft-split", "dft"]
 
     F = cfg.n_frames(T)
     x = jax.device_put(jnp.asarray(make_audio(S, T)))

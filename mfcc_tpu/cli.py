@@ -216,6 +216,45 @@ def cmd_selftest(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_probe(args) -> int:
+    """Dump every pipeline stage's output for a wav -- the LiteScope /
+    gen_collector observability role (debug/scope.py, mfcc.py:128-141) as
+    an .npz + optional png."""
+    from .io import wav as wavio
+    from .utils import debug
+
+    sig, sr = wavio.read(args.wav)
+    if args.frames:
+        sig = sig[: 512 + (args.frames - 1) * 170]
+    fn = debug.int_intermediates if args.int else debug.float_intermediates
+    inter = fn(sig.astype(np.int64) if args.int else sig.astype(np.float32))
+    out = {k: np.asarray(v) for k, v in inter.items()}
+    dest = os.path.splitext(args.wav)[0] + ("_int" if args.int else "_float") \
+        + "_stages.npz"
+    np.savez(dest, **out)
+    for k, v in out.items():
+        print(f"{k:12s} {v.shape} {v.dtype}")
+    print(f"wrote {dest}")
+    if args.png:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        keys = [k for k in ("frames", "window", "power", "filterbank",
+                            "log", "dct", "cepstra") if k in out]
+        fig, axs = plt.subplots(len(keys), figsize=(12, 2 * len(keys)))
+        for ax, k in zip(axs, keys):
+            v = out[k]
+            img = np.abs(v.reshape(v.shape[-2], v.shape[-1])) if v.ndim == 2 \
+                else np.abs(v[0])
+            ax.imshow(np.asarray(img, float).T, aspect="auto",
+                      origin="lower", cmap="inferno")
+            ax.set_ylabel(k)
+        png = dest.replace(".npz", ".png")
+        fig.savefig(png, dpi=100)
+        print(f"wrote {png}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mfcc_tpu",
                                  description=__doc__,
@@ -263,6 +302,13 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("selftest", help="pipeline vs oracles")
     p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser("probe", help="dump all pipeline stages (.npz)")
+    p.add_argument("wav")
+    p.add_argument("--int", action="store_true")
+    p.add_argument("--frames", type=int, default=0)
+    p.add_argument("--png", action="store_true")
+    p.set_defaults(fn=cmd_probe)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -30,7 +30,42 @@ from ..config import MFCCConfig
 from .. import tables
 from . import framing
 
-Precision = Literal["highest", "default", "bf16"]
+Precision = Literal["highest", "high", "default", "split", "bf16"]
+
+
+def _bf16_trunc(x: jnp.ndarray) -> jnp.ndarray:
+    """Truncate an f32 array to bf16 precision via mantissa masking.
+
+    NOT written as x.astype(bf16).astype(f32): under
+    --xla_allow_excess_precision=true (set by some TPU runtimes) XLA may
+    elide the round-trip cast, which silently zeroes the residual of a
+    double-word split.  The bitmask cannot be elided.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
+
+
+def split_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Error-compensated bf16 matmul: ~f32 accuracy in 4 bf16 MXU passes
+    (vs 6 passes for Precision.HIGHEST f32).
+
+    x = x_hi + x_lo and w = w_hi + w_lo with the *_hi parts bf16-exact
+    (mantissa-masked; see _bf16_trunc) and the residuals holding the next
+    mantissa bits.  Accumulation stays f32 on the MXU.
+    """
+    bf = jnp.bfloat16
+    x_hi = _bf16_trunc(x)
+    x_lo = (x - x_hi).astype(bf)
+    w_hi = _bf16_trunc(w)
+    w_lo = (w - w_hi).astype(bf)
+    x_hi = x_hi.astype(bf)
+    w_hi = w_hi.astype(bf)
+    out = jnp.matmul(x_hi, w_hi, preferred_element_type=jnp.float32)
+    out = out + jnp.matmul(x_hi, w_lo, preferred_element_type=jnp.float32)
+    out = out + jnp.matmul(x_lo, w_hi, preferred_element_type=jnp.float32)
+    out = out + jnp.matmul(x_lo, w_lo, preferred_element_type=jnp.float32)
+    return out
 
 
 def _matmul_precision(precision: Precision):
@@ -94,16 +129,17 @@ def mfcc_segmented(audio_emph: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - T)])
     X = x[..., : need].reshape(x.shape[:-1] + (L, hop))
 
-    prec = _matmul_precision(precision)
+    use_split = (precision == "split")
+    prec = _matmul_precision("highest" if use_split else precision)
+    mm = (split_matmul if use_split
+          else functools.partial(jnp.matmul, precision=prec))
     nbins = cfg.nbins_float
     reim = None
     for q in range(nseg):
-        t = jnp.matmul(X[..., q: q + F, :], jnp.asarray(segs_np[q], dtype),
-                       precision=prec)
+        t = mm(X[..., q: q + F, :], jnp.asarray(segs_np[q], dtype))
         reim = t if reim is None else reim + t
     if rem:
-        t = jnp.matmul(X[..., nseg: nseg + F, :rem],
-                       jnp.asarray(tail_np, dtype), precision=prec)
+        t = mm(X[..., nseg: nseg + F, :rem], jnp.asarray(tail_np, dtype))
         reim = reim + t
 
     re, im = reim[..., :nbins], reim[..., nbins:]
@@ -126,11 +162,13 @@ def mfcc_frames(frames: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
     """
     frames = frames.astype(dtype)
     nbins = cfg.nbins_float
-    prec = _matmul_precision(precision)
+    use_split = (precision == "split")
+    prec = _matmul_precision("highest" if use_split else precision)
     CS, mel, dct = _operators(cfg, jnp.dtype(dtype).name)
 
     if method == "dft":
-        reim = jnp.matmul(frames, CS, precision=prec)
+        reim = (split_matmul(frames, CS) if use_split
+                else jnp.matmul(frames, CS, precision=prec))
         re, im = reim[..., :nbins], reim[..., nbins:]
         power = re * re + im * im
     elif method == "rfft":

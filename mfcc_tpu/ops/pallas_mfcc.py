@@ -59,12 +59,12 @@ def _kernel_operators(cfg: MFCCConfig):
 
 
 def _mfcc_kernel(chunk_ref, tail_ref, cs_ref, mel_ref, dct_ref, out_ref,
-                 frames_ref, *, nfft, hop, nbins, ncep):
-    chunk_len = BF * hop
+                 frames_ref, *, nfft, hop, nbins, ncep, split, bf=BF):
+    chunk_len = bf * hop
 
     # Overlapped frames from chunk (+ tail for the straddling last frames).
     # All slice offsets/sizes are static: this unrolls to plain VMEM copies.
-    for i in range(BF):
+    for i in range(bf):
         start = i * hop
         end = start + nfft
         if end <= chunk_len:
@@ -74,9 +74,26 @@ def _mfcc_kernel(chunk_ref, tail_ref, cs_ref, mel_ref, dct_ref, out_ref,
             frames_ref[i, :head] = chunk_ref[0, 0, pl.ds(start, head)]
             frames_ref[i, head:] = tail_ref[0, 0, : nfft - head]
 
-    frames = frames_ref[:]                                   # (BF, nfft)
-    reim = jnp.dot(frames, cs_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)      # (BF, 2*nbins)
+    frames = frames_ref[:]                                   # (bf, nfft)
+    if split:
+        # error-compensated bf16: 4 MXU passes ~ f32 accuracy (float_ops.
+        # split_matmul); cs_ref holds [CS_hi | CS_lo] stacked on axis 0.
+        b16 = jnp.bfloat16
+        x_hi = frames.astype(b16)
+        x_lo = (frames - x_hi.astype(jnp.float32)).astype(b16)
+        cs_hi = cs_ref[0]
+        cs_lo = cs_ref[1]
+        reim = jnp.dot(x_hi, cs_hi, preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_hi, cs_lo,
+                              preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_lo, cs_hi,
+                              preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_lo, cs_lo,
+                              preferred_element_type=jnp.float32)
+    else:
+        reim = jnp.dot(frames, cs_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (BF, 2*nbins)
     re = reim[:, :nbins]
     im = reim[:, nbins:]
     power = re * re + im * im                                # (BF, nbins)
@@ -95,17 +112,20 @@ def _overlap(cfg: MFCCConfig) -> int:
     return cfg.nfft - cfg.hop
 
 
-def mfcc_pallas_emphasized(emph: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
-                           ) -> jnp.ndarray:
-    """(S, T) already-emphasized f32 audio -> (S, F, nceptrums)."""
+def mfcc_pallas_emphasized(emph: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                           *, split: bool = False, bf: int = BF) -> jnp.ndarray:
+    """(S, T) already-emphasized f32 audio -> (S, F, nceptrums).
+
+    ``bf`` = frames per block; larger blocks amortize per-block overhead at
+    the cost of VMEM (bf=512 -> ~3 MB of frame scratch)."""
     S, T = emph.shape
     nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
     nbins = nfft // 2
     F = cfg.n_frames(T)
     assert F >= 1, "signal shorter than one frame"
-    nblocks = -(-F // BF)
-    Fp = nblocks * BF
-    chunk_len = BF * hop
+    nblocks = -(-F // bf)
+    Fp = nblocks * bf
+    chunk_len = bf * hop
     ov = _overlap(cfg)
 
     T_need = nblocks * chunk_len + ov
@@ -118,17 +138,174 @@ def mfcc_pallas_emphasized(emph: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
     tails = emph[:, tail_idx].reshape(N, 1, ov)    # tiny (N, 1, ov)
 
     CS, mel, dct = _kernel_operators(cfg)
+    if split:
+        cs_hi = CS.astype(np.float32).astype(jnp.bfloat16)
+        cs_lo = (CS - np.asarray(cs_hi, np.float32)).astype(jnp.bfloat16)
+        cs_arg = jnp.stack([jnp.asarray(cs_hi), jnp.asarray(cs_lo)])
+        cs_spec = pl.BlockSpec((2, nfft, 2 * nbins), lambda n: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        cs_arg = jnp.asarray(CS)
+        cs_spec = pl.BlockSpec((nfft, 2 * nbins), lambda n: (0, 0),
+                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_mfcc_kernel, nfft=nfft, hop=hop, nbins=nbins,
-                          ncep=ncep),
+                          ncep=ncep, split=split, bf=bf),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, 1, chunk_len), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ov), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfft, 2 * nbins), lambda n: (0, 0),
+            cs_spec,
+            pl.BlockSpec((nbins, cfg.nfilters), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.nfilters, ncep), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bf, ncep), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, bf, ncep), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bf, nfft), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Fp * S * (nfft * 2 * nbins + nbins * cfg.nfilters
+                                + cfg.nfilters * ncep),
+            bytes_accessed=4 * S * (T_need + Fp * ncep),
+            transcendentals=Fp * S * cfg.nfilters,
+        ),
+    )(chunks, tails, cs_arg, jnp.asarray(mel), jnp.asarray(dct))
+    return out.reshape(S, Fp, ncep)[:, :F]
+
+
+def mfcc_batch_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                      *, split: bool = False, bf: int = BF) -> jnp.ndarray:
+    """Full float pipeline, fused kernel: (S, T) raw -> (S, F, nceptrums)."""
+    emph = framing.preemphasis(audio.astype(jnp.float32))
+    return mfcc_pallas_emphasized(emph, cfg, split=split, bf=bf)
+
+
+# ---------------------------------------------------------------------------
+# Segment-layout kernel: zero per-frame copies
+# ---------------------------------------------------------------------------
+#
+# Profiling the kernel above shows the BF unaligned VMEM frame copies dominate
+# (~2/3 of runtime).  This variant never builds frames: the host reshapes the
+# emphasized signal into hop-sized segment rows padded to the 256-lane
+# boundary, and the windowed DFT becomes FOUR shifted matmuls
+#
+#   reim = sum_q X[q : q+BF] @ D_q ,   q = 0..3
+#
+# where D_q[r] = CS[q*hop + r] (D_3 holds only the nfft-3*hop=2 remainder
+# rows).  The (BF, 256) row slices of the segment matrix are contiguous --
+# no gather, no copies; everything else is identical to the first kernel.
+
+@functools.lru_cache(maxsize=None)
+def _segment_kernel_operators(cfg: MFCCConfig, seg_pad: int):
+    CS, mel, dct = _kernel_operators(cfg)
+    hop, nfft = cfg.hop, cfg.nfft
+    nseg = -(-nfft // hop)                     # 4 for 512/170 (last partial)
+    Ds = []
+    for q in range(nseg):
+        D = np.zeros((seg_pad, CS.shape[1]), np.float32)
+        lo = q * hop
+        hi = min(lo + hop, nfft)
+        D[: hi - lo] = CS[lo:hi]
+        Ds.append(D)
+    return np.stack(Ds), mel, dct              # (nseg, seg_pad, 2*nbins)
+
+
+def _mfcc_seg_kernel(x_ref, xtail_ref, d_ref, mel_ref, dct_ref, out_ref, *,
+                     nbins, ncep, nseg, split):
+    X = jnp.concatenate([x_ref[0], xtail_ref[0]], axis=0)  # (BF+nseg-1, P)
+    if split:
+        bf = jnp.bfloat16
+        x_hi = X.astype(bf)
+        x_lo = (X - x_hi.astype(jnp.float32)).astype(bf)
+        reim = None
+        for q in range(nseg):
+            d_hi = d_ref[0, q]
+            d_lo = d_ref[1, q]
+            t = jnp.dot(x_hi[q: q + BF], d_hi,
+                        preferred_element_type=jnp.float32)
+            t = t + jnp.dot(x_hi[q: q + BF], d_lo,
+                            preferred_element_type=jnp.float32)
+            t = t + jnp.dot(x_lo[q: q + BF], d_hi,
+                            preferred_element_type=jnp.float32)
+            t = t + jnp.dot(x_lo[q: q + BF], d_lo,
+                            preferred_element_type=jnp.float32)
+            reim = t if reim is None else reim + t
+    else:
+        reim = None
+        for q in range(nseg):
+            t = jnp.dot(X[q: q + BF], d_ref[q],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            reim = t if reim is None else reim + t
+
+    re = reim[:, :nbins]
+    im = reim[:, nbins:]
+    power = re * re + im * im
+    melspec = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    logmel = jnp.log2(melspec)
+    out_ref[0] = jnp.dot(logmel, dct_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def mfcc_pallas_seg(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
+                    split: bool = True) -> jnp.ndarray:
+    """Fused segment-layout kernel: (S, T) raw -> (S, F, nceptrums)."""
+    emph = framing.preemphasis(audio.astype(jnp.float32))
+    S, T = emph.shape
+    nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
+    nbins = nfft // 2
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nblocks = -(-F // BF)
+    nseg = -(-nfft // hop)
+    seg_pad = -(-hop // 128) * 128             # 256 for hop=170
+
+    # segment rows: block n needs rows [n*BF, n*BF + BF + nseg - 1)
+    L = nblocks * BF + nseg - 1
+    need = L * hop
+    if need > T:
+        emph = jnp.pad(emph, ((0, 0), (0, need - T)))
+    Xrows = emph[:, : L * hop].reshape(S, L, hop)
+    Xrows = jnp.pad(Xrows, ((0, 0), (0, 0), (0, seg_pad - hop)))
+
+    N = S * nblocks
+    # block n's main rows are contiguous: a pure reshape, no gather
+    Xmain = Xrows[:, : nblocks * BF].reshape(N, BF, seg_pad)
+    # the nseg-1 overlap rows per block are a tiny gather
+    tail_idx = (np.arange(nblocks)[:, None] * BF + BF
+                + np.arange(nseg - 1)[None, :])               # (nb, nseg-1)
+    Xtail = Xrows[:, tail_idx].reshape(N, nseg - 1, seg_pad)
+
+    Ds, mel, dct = _segment_kernel_operators(cfg, seg_pad)
+    if split:
+        d_hi = Ds.astype(jnp.bfloat16)
+        d_lo = (Ds - np.asarray(d_hi, np.float32)).astype(jnp.bfloat16)
+        d_arg = jnp.stack([jnp.asarray(d_hi), jnp.asarray(d_lo)])
+        d_spec = pl.BlockSpec((2, nseg, seg_pad, 2 * nbins),
+                              lambda n: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        d_arg = jnp.asarray(Ds)
+        d_spec = pl.BlockSpec((nseg, seg_pad, 2 * nbins),
+                              lambda n: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_mfcc_seg_kernel, nbins=nbins, ncep=ncep,
+                          nseg=nseg, split=split),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, BF, seg_pad), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nseg - 1, seg_pad), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            d_spec,
             pl.BlockSpec((nbins, cfg.nfilters), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.nfilters, ncep), lambda n: (0, 0),
@@ -137,21 +314,5 @@ def mfcc_pallas_emphasized(emph: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
         out_specs=pl.BlockSpec((1, BF, ncep), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, BF, ncep), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((BF, nfft), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Fp * S * (nfft * 2 * nbins + nbins * cfg.nfilters
-                                + cfg.nfilters * ncep),
-            bytes_accessed=4 * S * (T_need + Fp * ncep),
-            transcendentals=Fp * S * cfg.nfilters,
-        ),
-    )(chunks, tails, jnp.asarray(CS), jnp.asarray(mel), jnp.asarray(dct))
-    return out.reshape(S, Fp, ncep)[:, :F]
-
-
-def mfcc_batch_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
-                      ) -> jnp.ndarray:
-    """Full float pipeline, fused kernel: (S, T) raw -> (S, F, nceptrums)."""
-    emph = framing.preemphasis(audio.astype(jnp.float32))
-    return mfcc_pallas_emphasized(emph, cfg)
+    )(Xmain, Xtail, d_arg, jnp.asarray(mel), jnp.asarray(dct))
+    return out.reshape(S, nblocks * BF, ncep)[:, :F]

@@ -176,3 +176,34 @@ class StreamingMFCC:
                 outs[s].append(feats[s][mask[s]])
         return [np.concatenate(o) if o else np.zeros((0, self.cfg.nceptrums))
                 for o in outs], state
+
+
+# -- Checkpoint / resume --------------------------------------------------------
+#
+# The reference has no checkpointing: device state is <= 1 frame of audio and
+# recovery is "reset and resend" (SURVEY.md section 5).  Here the carry IS the
+# checkpoint; these helpers persist it (orbax when available, npz otherwise).
+
+def save_state(path: str, state: StreamState) -> None:
+    arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    try:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, arrays, force=True)
+    except Exception:
+        np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def load_state(path: str) -> StreamState:
+    import os
+    try:
+        import orbax.checkpoint as ocp
+        if os.path.isdir(path):
+            ckptr = ocp.PyTreeCheckpointer()
+            arrays = ckptr.restore(path)
+            return StreamState(**{k: jnp.asarray(v)
+                                  for k, v in arrays.items()})
+    except Exception:
+        pass
+    npz = np.load(path if path.endswith(".npz") else path + ".npz")
+    return StreamState(**{k: jnp.asarray(npz[k]) for k in npz.files})

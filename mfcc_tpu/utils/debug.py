@@ -27,7 +27,9 @@ def float_intermediates(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
     frames = framing.extract_frames(emph, cfg.nfft, cfg.hop)
     win = frames * jnp.asarray(tables.float_window(cfg.nfft), dtype)
     spec = jnp.fft.rfft(win, axis=-1) / cfg.nfft
-    power = jnp.abs(spec).astype(dtype) ** 2
+    spec_re = spec.real.astype(dtype)   # complex arrays don't transfer on
+    spec_im = spec.imag.astype(dtype)   # all backends: keep re/im separate
+    power = spec_re ** 2 + spec_im ** 2
     mel = jnp.matmul(power, jnp.asarray(
         tables.float_mel_matrix(cfg.samplerate, cfg.nfft, cfg.nfilters), dtype),
         precision=jax.lax.Precision.HIGHEST)
@@ -35,9 +37,9 @@ def float_intermediates(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
     cep = jnp.matmul(logmel, jnp.asarray(
         tables.dct2_ortho_matrix(cfg.nfilters), dtype),
         precision=jax.lax.Precision.HIGHEST)
-    return dict(emph=emph, frames=frames, window=win, fft=spec, power=power,
-                filterbank=mel, log=logmel, dct=cep,
-                cepstra=cep[..., : cfg.nceptrums])
+    return dict(emph=emph, frames=frames, window=win, fft_re=spec_re,
+                fft_im=spec_im, power=power, filterbank=mel, log=logmel,
+                dct=cep, cepstra=cep[..., : cfg.nceptrums])
 
 
 def int_intermediates(audio, cfg: MFCCConfig = MFCCConfig()) -> dict:

@@ -39,6 +39,37 @@ def test_pallas_vs_oracle(audio_int16):
     assert np.abs(want - got).max() < 5e-4
 
 
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_split_and_seg_variants(audio_int16):
+    """bf16-split (4-pass compensated) and segment-layout kernels stay within
+    the accuracy gate."""
+    from mfcc_tpu.ops import pallas_mfcc
+    want = float_ref.mfcc_float(audio_int16, CFG)
+    x = jnp.asarray(audio_int16[None].astype(np.float32))
+    got_split = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_batch_pallas(a, CFG, split=True))(x))[0]
+    assert np.abs(want - got_split).max() < 5e-4
+    got_seg = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_seg(a, CFG, split=True))(x))[0]
+    assert np.abs(want - got_seg).max() < 5e-4
+
+
+def test_split_matmul_accuracy():
+    """The XLA-level double-word matmul survives excess-precision flags
+    (mantissa masking, not casts)."""
+    from mfcc_tpu.ops.float_ops import split_matmul
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((64, 512)).astype(np.float32) * 1e4)
+    b = jnp.asarray(rng.standard_normal((512, 128)).astype(np.float32))
+    want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    got = np.asarray(jax.jit(split_matmul)(a, b))
+    rel = np.abs(got - want) / np.abs(want).max()
+    # 2x-bf16 double-word keeps ~16 mantissa bits: ~1e-5 relative.
+    # Raw bf16 would be ~3e-3; Precision.HIGHEST is ~1e-7.
+    assert rel.max() < 2e-5
+
+
 def test_segmented_matches_oracle(audio_int16):
     """The segmented (no-gather) formulation vs float64 oracle -- works on
     any backend."""
