@@ -87,14 +87,17 @@ class IntMFCCFeatures:
     (..., F, nceptrums) int32."""
 
     def __init__(self, cfg: MFCCConfig = DEFAULT_CONFIG):
+        import contextlib
         self.cfg = cfg
-        with jax.enable_x64():
+        self._ctx = (jax.enable_x64 if not int_ops._fb_int32_layout_ok(cfg)
+                     else contextlib.nullcontext)
+        with self._ctx():
             self._jit = jax.jit(functools.partial(int_ops.mfcc_int_batch,
                                                   cfg=cfg))
 
     def __call__(self, audio):
         import numpy as np
-        with jax.enable_x64():
+        with self._ctx():
             return self._jit(jnp.asarray(np.asarray(audio), jnp.int32))
 
 

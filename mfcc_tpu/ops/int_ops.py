@@ -164,6 +164,64 @@ def filterbank_int(power: jnp.ndarray, sample_rate: int = 16000,
     return ((acc >> shift) & ((1 << width_output) - 1)).astype(jnp.int32)
 
 
+def filterbank_int32(power: jnp.ndarray, sample_rate: int = 16000,
+                     nfft: int = 512, ntap: int = 32, wsize: int = 30,
+                     gain: int = 18, width_output: int = 16,
+                     width: int = 30) -> jnp.ndarray:
+    """x64-free exact filterbank: same result as filterbank_int, no int64.
+
+    The emitted band value is ``(S >> shift) & (2^width_output - 1)`` with
+    S = sum_k d_k * W[k, j] needed only mod 2^(shift + width_output) = 2^46
+    for the default config.  Decompose d and W into 8-bit limbs: every
+    limb-pair partial sum over the nbins axis is < 2^24 and therefore EXACT
+    in a float32 matmul (products < 2^16, f32 holds integers to 2^24), which
+    puts the whole filterbank on the MXU.  The limb partial sums are then
+    recombined in int32 using two base-2^23 digits covering bits [0, 46):
+    the output field (bits shift..shift+15) lies entirely inside digit 1.
+    """
+    Wnp, shift = _fb_constants(sample_rate, nfft, ntap, wsize, gain,
+                               width_output, width)
+    need_bits = shift + width_output          # 47 for the default config
+    assert width_output <= 23
+    nlimb = 4                                  # 8-bit limbs of <=31-bit ints
+    d32 = power.astype(jnp.int32)
+    d_limbs = [((d32 >> (8 * j)) & 0xFF).astype(jnp.float32)
+               for j in range(nlimb)]
+    w_limbs = [jnp.asarray(((Wnp >> (8 * i)) & 0xFF).astype(np.float32))
+               for i in range(nlimb)]
+
+    # base-2^23 digits D[0..3] of S; each stays < 2^28 before normalization
+    ndig = 4
+    D = [None] * ndig
+    def _acc(d, v):
+        D[d] = v if D[d] is None else D[d] + v
+    for j in range(nlimb):
+        for i in range(nlimb):
+            s = 8 * (i + j)
+            if s >= need_bits:                 # 2^s = 0 mod 2^need_bits
+                continue
+            P = jnp.matmul(d_limbs[j], w_limbs[i],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            P = P.astype(jnp.int32)            # exact: P < 2^24
+            t = s % 23
+            d = s // 23
+            _acc(d, (P & ((1 << (23 - t)) - 1)) << t)
+            if d + 1 < ndig:
+                _acc(d + 1, P >> (23 - t))
+    zero = jnp.zeros(power.shape[:-1] + (Wnp.shape[1],), jnp.int32)
+    D = [zero if v is None else v for v in D]
+    mask23 = (1 << 23) - 1
+    for d in range(ndig - 1):                  # carry-normalize
+        D[d + 1] = D[d + 1] + (D[d] >> 23)
+        D[d] = D[d] & mask23
+    q, r = divmod(shift, 23)
+    out = (D[q] >> r)
+    if r:
+        out = out | (D[q + 1] << (23 - r))
+    return (out & ((1 << width_output) - 1)).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Fixed-point log2 (mfcc/core/log.py) -- int32, fixed iteration count
 # ---------------------------------------------------------------------------
@@ -215,16 +273,28 @@ def dct_int(x: jnp.ndarray, width: int = 16) -> jnp.ndarray:
 # Full INT pipeline (mfcc/core/mfcc.py:90-104)
 # ---------------------------------------------------------------------------
 
+def _fb_int32_layout_ok(cfg: MFCCConfig) -> bool:
+    """filterbank_int32 covers any layout whose needed bits fit the 4-digit
+    base-2^23 window (always true for the reference config family)."""
+    _, shift = _fb_constants(cfg.samplerate, cfg.nfft, cfg.nfilters,
+                             cfg.filter_wsize, cfg.filter_gain, 16,
+                             cfg.power_width)
+    return shift + 16 <= 23 * 3 + 1 and shift // 23 + 1 < 4
+
+
 def mfcc_int_frames(frames: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
                     ) -> jnp.ndarray:
     """Fixed-point pipeline on pre-emphasized int frames:
-    (..., F, nfft) int32 -> (..., F, nceptrums) int32 (int16-range values)."""
+    (..., F, nfft) int32 -> (..., F, nceptrums) int32 (int16-range values).
+
+    Runs entirely in int32/f32 (no x64 needed) for the default config
+    family; falls back to the int64 filterbank otherwise."""
     win = window_int(frames, cfg.nfft, cfg.window_precision, cfg.width)
     re, im = fft_stream_int(win, cfg.width)
     power = power_int(re, im, cfg.width, cfg.power_width)
-    mel = filterbank_int(power, cfg.samplerate, cfg.nfft, cfg.nfilters,
-                         cfg.filter_wsize, cfg.filter_gain, 16,
-                         cfg.power_width)
+    fb = filterbank_int32 if _fb_int32_layout_ok(cfg) else filterbank_int
+    mel = fb(power, cfg.samplerate, cfg.nfft, cfg.nfilters,
+             cfg.filter_wsize, cfg.filter_gain, 16, cfg.power_width)
     logmel = log2fix_int(mel, 16, cfg.log_width_output)
     cep = dct_int(logmel, cfg.width)
     return cep[..., : cfg.nceptrums]

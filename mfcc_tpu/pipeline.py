@@ -48,11 +48,19 @@ class MFCC:
         self._float_frames_jit = jax.jit(functools.partial(
             float_ops.mfcc_frames, cfg=cfg, method=method,
             precision=precision, dtype=dtype, mel_floor=mel_floor))
-        with jax.enable_x64():
+        # the INT path is x64-free for the reference config family; exotic
+        # filterbank layouts fall back to the int64 (x64) filterbank
+        self._int_needs_x64 = not int_ops._fb_int32_layout_ok(cfg)
+        with self._x64_ctx():
             self._int_jit = jax.jit(functools.partial(
                 int_ops.mfcc_int_batch, cfg=cfg))
             self._int_frames_jit = jax.jit(functools.partial(
                 int_ops.mfcc_int_frames, cfg=cfg))
+
+    def _x64_ctx(self):
+        import contextlib
+        return (jax.enable_x64() if self._int_needs_x64
+                else contextlib.nullcontext())
 
     # -- float path ----------------------------------------------------------
 
@@ -69,12 +77,12 @@ class MFCC:
     def int(self, audio) -> jnp.ndarray:
         """(..., T) int16-range samples -> (..., F, nceptrums) int32 cepstra,
         element-exact vs the RTL fixed-point pipeline."""
-        with jax.enable_x64():
+        with self._x64_ctx():
             x = jnp.asarray(np.asarray(audio), dtype=jnp.int32)
             return self._int_jit(x)
 
     def int_frames(self, frames) -> jnp.ndarray:
-        with jax.enable_x64():
+        with self._x64_ctx():
             x = jnp.asarray(np.asarray(frames), dtype=jnp.int32)
             return self._int_frames_jit(x)
 

@@ -132,7 +132,7 @@ class StreamingMFCC:
             feats = features(frames)
             return feats, mask, StreamState(*new_state)
 
-        if int_path:
+        if int_path and not int_ops._fb_int32_layout_ok(cfg):
             _jit = jax.jit(step)
 
             def step_x64(chunks, state, reset):
