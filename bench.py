@@ -114,6 +114,25 @@ def main():
     x = jax.device_put(jnp.asarray(make_audio(S, T)))
     float(x.sum())  # force residency
 
+    if not args.quick:
+        # side metric: bit-exact INT mode throughput (stderr only)
+        from mfcc_tpu.ops import int_ops
+        Si = min(S, 256)
+        xi = jax.device_put(jnp.asarray(
+            make_audio(Si, T).astype(np.int64), jnp.int32))
+        int(jnp.abs(xi).max())
+        fi = jax.jit(lambda a, s: int_ops.mfcc_int_batch(a + s, cfg))
+        int(fi(xi, jnp.int32(0)).sum())
+        best_i = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            acc = [fi(xi, jnp.int32(1 + 10 * rep + i))[0, 0, 0]
+                   for i in range(6)]
+            int(jnp.stack(acc).sum())
+            best_i = min(best_i, (time.perf_counter() - t0) / 6)
+        print(f"# int (bit-exact): {Si * F / best_i / 1e6:.3f} Mframes/s "
+              f"({best_i*1e3:.2f} ms/iter, S={Si})", file=sys.stderr)
+
     best = None
     for kind in candidates:
         err = accuracy_of(cfg, kind)

@@ -101,12 +101,19 @@ def cmd_stream(args) -> int:
 
 
 def cmd_recv(args) -> int:
-    """Decode a magic-framed feature byte stream (recv.py:12-42)."""
+    """Decode a magic-framed feature byte stream (recv.py:12-42), with the
+    host voice-activity check (cepstrum.c:161-183) via --vad."""
     from .io import transport
     data = (sys.stdin.buffer.read() if args.infile == "-"
             else open(args.infile, "rb").read())
     cep, consumed = transport.decode_frames(data, args.ncep)
     print(f"decoded {cep.shape[0]} frames ({consumed} bytes)", file=sys.stderr)
+    if args.vad and len(cep):
+        from .utils.vad import voice_activity_power, DEFAULT_THRESHOLD
+        p = int(voice_activity_power(cep))
+        print(f"voice activity power={p} "
+              f"{'VOICE' if p > DEFAULT_THRESHOLD else 'silence'}",
+              file=sys.stderr)
     if args.outfile:
         cep.astype(np.int16).tofile(args.outfile)
     else:
@@ -282,6 +289,8 @@ def main(argv=None) -> int:
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?")
     p.add_argument("--ncep", type=int, default=16)
+    p.add_argument("--vad", action="store_true",
+                   help="report voice activity (cepstrum.c threshold)")
     p.set_defaults(fn=cmd_recv)
 
     p = sub.add_parser("goldens", help="librosa-recipe .spec/.sklearn goldens")

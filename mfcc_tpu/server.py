@@ -23,6 +23,7 @@ reference's BlinkerKeep RX/TX LEDs (wav2mfcc.py:38-47).
 
 from __future__ import annotations
 
+import logging
 import socket
 import socketserver
 import threading
@@ -30,6 +31,12 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
+
+# Leveled logging (the ft601 driver's log_cb role, ft601.h:34-51):
+# logging.ERROR/INFO/DEBUG map to FT601_LOG_LEVEL_{ERROR,INFO,DEBUG};
+# DEBUG logs word-level traffic like the MFCC_DEBUG hex dumps
+# (cepstrum.c:44-65).
+log = logging.getLogger("mfcc_tpu.server")
 
 from .config import MFCCConfig, DEFAULT_CONFIG
 from .io import transport
@@ -110,8 +117,11 @@ class FeatureServer:
 
         idx = self._alloc_slot(send)
         if idx < 0:
+            log.error("connection rejected: all %d slots busy",
+                      self.max_streams)
             sock.close()
             return
+        log.info("client connected -> slot %d", idx)
         slot = self._slots[idx]
         tail = b""
         try:
@@ -126,6 +136,10 @@ class FeatureServer:
                 if len(words) == 0:
                     continue
                 samples, resets = transport.decode_stream(words)
+                if log.isEnabledFor(logging.DEBUG):
+                    log.debug("slot %d rx %d words: %s%s", idx, len(words),
+                              " ".join(f"{w:08x}" for w in words[:8]),
+                              " ..." if len(words) > 8 else "")
                 with slot.lock:
                     slot.rx_words += len(words)
                     # split at reset points so resets land on chunk starts
@@ -153,6 +167,8 @@ class FeatureServer:
         finally:
             with slot.lock:
                 slot.send = None
+            log.info("client on slot %d disconnected (rx=%d words, "
+                     "tx=%d frames)", idx, slot.rx_words, slot.tx_frames)
             try:
                 sock.close()
             except OSError:
