@@ -103,12 +103,12 @@ def main():
         S, T, iters = 64, 512 + 93 * 170, 6
         candidates = ["segmented"]
     else:
-        S = args.streams or 512
+        S = args.streams or 1024
         secs = args.seconds or 4.0
         T = cfg.nfft + int(round((secs * cfg.samplerate - cfg.nfft)
                                  / cfg.hop)) * cfg.hop
         iters = args.iters or 12
-        candidates = ["pallas-split", "pallas", "dft-split", "dft"]
+        candidates = ["pallas-split", "pallas", "dft"]
 
     F = cfg.n_frames(T)
     x = jax.device_put(jnp.asarray(make_audio(S, T)))

@@ -188,16 +188,23 @@ class FeatureServer:
             with slot.lock:
                 if slot.send is None or slot.n_buffered < C:
                     continue
+                # A chunk must hold samples of ONE reset epoch.  If a reset
+                # arrives before a chunk fills, the pre-reset run is
+                # discarded -- the hardware semantics: soft reset clears all
+                # in-flight pipeline data (ResetInserter, mfcc.py:116).
                 got = 0
                 reset_first = slot.reset_pending
                 slot.reset_pending = False
-                while got < C:
+                while got < C and slot.pending:
                     s_arr, seg_reset = slot.pending[0]
-                    if seg_reset and got > 0:
-                        break  # reset must start its own chunk
                     if seg_reset:
+                        if got:           # discard the pre-reset partial run
+                            slot.n_buffered -= got
+                            chunks[i, :got] = 0
+                            got = 0
                         reset_first = True
                         slot.pending[0] = (s_arr, False)
+                        continue
                     take = min(C - got, len(s_arr))
                     chunks[i, got: got + take] = s_arr[:take]
                     got += take
@@ -205,10 +212,15 @@ class FeatureServer:
                         slot.pending.pop(0)
                     else:
                         slot.pending[0] = (s_arr[take:], False)
+                if got < C:
+                    # not enough post-reset data yet: put the run back intact
+                    if got:
+                        slot.pending.insert(0, (chunks[i, :got].copy()
+                                                .astype(chunks.dtype), False))
+                        chunks[i, :got] = 0
+                    slot.reset_pending = reset_first
+                    continue
                 slot.n_buffered -= got
-                if got < C:  # hit a reset boundary: pad removed? cannot happen
-                    # put back is complex; pad with zeros (reset flushes state)
-                    pass
                 resets[i] = reset_first
                 active[i] = True
         return chunks, resets, active

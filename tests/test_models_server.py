@@ -96,6 +96,32 @@ def test_feature_server_roundtrip(audio_int16):
         assert np.array_equal(cols[: len(want)], want.astype(np.int16))
         assert np.array_equal(cols[len(want): 2 * len(want)],
                               want.astype(np.int16))
+
+        # UNALIGNED reset (mid-chunk): pre-reset residue that cannot fill a
+        # chunk is discarded (hardware ResetInserter semantics), and the
+        # post-reset stream starts clean.
+        pre = audio_int16[:1500]            # 1024 chunk + 476 residue
+        words = np.concatenate([
+            transport.encode_stream(pre, reset_first=True),
+            transport.encode_stream(sig, reset_first=True)])
+        want_pre = int_ref.mfcc_int(pre[:1024].astype(np.int64), CFG)
+        with socket.create_connection((host, port), timeout=90) as sock:
+            sock.sendall(words.astype("<u4").tobytes())
+            sock.settimeout(90)
+            buf = b""
+            target = len(want_pre) + len(want)
+            while True:
+                cols, _ = transport.decode_frames(buf, CFG.nceptrums)
+                if len(cols) >= target:
+                    break
+                data = sock.recv(65536)
+                if not data:
+                    break
+                buf += data
+        assert np.array_equal(cols[: len(want_pre)],
+                              want_pre.astype(np.int16))
+        assert np.array_equal(cols[len(want_pre): target],
+                              want.astype(np.int16))
     finally:
         srv.stop()
 
