@@ -117,11 +117,16 @@ def main():
     if not args.quick:
         # side metric: bit-exact INT mode throughput (stderr only)
         from mfcc_tpu.ops import int_ops
+        if jax.default_backend() == "tpu":
+            from mfcc_tpu.ops import pallas_int
+            int_base = lambda a: pallas_int.mfcc_int_pallas(a, cfg)
+        else:
+            int_base = lambda a: int_ops.mfcc_int_batch(a, cfg)
         Si = min(S, 256)
         xi = jax.device_put(jnp.asarray(
             make_audio(Si, T).astype(np.int64), jnp.int32))
         int(jnp.abs(xi).max())
-        fi = jax.jit(lambda a, s: int_ops.mfcc_int_batch(a + s, cfg))
+        fi = jax.jit(lambda a, s: int_base(a + s))
         int(fi(xi, jnp.int32(0)).sum())
         best_i = float("inf")
         for rep in range(2):

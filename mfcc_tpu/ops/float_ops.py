@@ -34,15 +34,18 @@ Precision = Literal["highest", "high", "default", "split", "bf16"]
 
 
 def _bf16_trunc(x: jnp.ndarray) -> jnp.ndarray:
-    """Truncate an f32 array to bf16 precision via mantissa masking.
+    """Round an f32 array to bf16 precision via mantissa bit arithmetic
+    (round-to-nearest-even, like a real bf16 cast).
 
     NOT written as x.astype(bf16).astype(f32): under
     --xla_allow_excess_precision=true (set by some TPU runtimes) XLA may
     elide the round-trip cast, which silently zeroes the residual of a
-    double-word split.  The bitmask cannot be elided.
+    double-word split.  The bit arithmetic cannot be elided.
     """
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+    round_bias = jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    return jax.lax.bitcast_convert_type((u + round_bias)
+                                        & jnp.uint32(0xFFFF0000),
                                         jnp.float32)
 
 

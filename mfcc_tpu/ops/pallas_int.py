@@ -1,0 +1,292 @@
+"""Fused bit-exact fixed-point MFCC kernel (Pallas / Mosaic).
+
+The XLA INT pipeline (int_ops) is HBM-bound: each of the 9 radix-2 stages
+round-trips the (frames, 512) re/im arrays through HBM.  This kernel holds a
+block of BF=128 frames in VMEM across the ENTIRE integer pipeline:
+
+  window'd frames, TRANSPOSED to (512 positions x 128 frame-lanes) int32
+  -> 9-stage bit-exact DIT ladder, natural-order formulation (see below)
+  -> power |.|^2 (mod-2^32, logical >>2)                       VPU
+  -> integer mel filterbank: 8-bit limb f32 matmuls             MXU
+  -> Turner log2, unrolled                                      VPU
+  -> DCT-II via a 128-pt bit-exact INT FFT (same formulation)   VPU
+  -> (32 cepstra x 128 frames) out
+
+Natural-order ladder: the RTL loads bit-reversed (fft.py:413-418) and runs
+the standard DIT schedule.  Mapping every w-index j to the row bitrev(j)
+turns stage s into pairs at sublane stride d = 2^(L-1-s) with a per-row
+twiddle column tw[r] = T[bitrev_s(r >> (L-s)) << (L-1-s)] -- so every stage
+is two pltpu.rolls + elementwise selects, NO gathers, NO reshapes, NO
+transposes in-kernel.  The FFT output lands with bin k at row bitrev(k);
+instead of unpermuting, the mel weight matrix rows are pre-permuted (and
+zeroed for the conjugate bins), so the permutation costs nothing.
+
+Bit-exactness relies on the same int32-wraparound argument as int_ops
+(mod-2^32 drift is invisible after each stage's >>14, >>1, wrap16) and on
+the exact-f32-limb filterbank (int_ops.filterbank_int32); asserted
+element-exact vs the unbounded-int oracle in tests/test_pallas_int.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import MFCCConfig
+from .. import tables
+from . import framing, int_ops
+
+BF = 128  # frames per block (lane count)
+
+
+# ---------------------------------------------------------------------------
+# Constant builders
+# ---------------------------------------------------------------------------
+
+def _bitrev(x: int, bits: int) -> int:
+    r = 0
+    for b in range(bits):
+        r |= ((x >> b) & 1) << (bits - 1 - b)
+    return r
+
+
+@functools.lru_cache(maxsize=None)
+def _ladder_constants(size: int, width: int = 16):
+    """Per-stage twiddle COLUMNS in natural-row space: (size, nstages) int32
+    arrays (re, im): tw[r, s] = T[bitrev_s(r >> (L-s)) << (L-1-s)]."""
+    L = int(np.log2(size))
+    twr, twi = tables.twiddle_table(size, width)
+    cr = np.zeros((size, L), dtype=np.int32)
+    ci = np.zeros((size, L), dtype=np.int32)
+    for s in range(L):
+        for r in range(size):
+            g = r >> (L - s) if s > 0 else 0
+            j = _bitrev(g, s) if s > 0 else 0
+            idx = j << (L - 1 - s)
+            cr[r, s] = twr[idx]
+            ci[r, s] = twi[idx]
+    return cr, ci
+
+
+@functools.lru_cache(maxsize=None)
+def _fb_limb_matrix(cfg: MFCCConfig):
+    """Filterbank 8-bit limb matrices with bin->row permutation folded in:
+    (4, ntap, size) f32 where column r holds the weight of FFT output row r
+    (= bin bitrev(r) if that bin < nbins, else 0)."""
+    size = cfg.nfft
+    L = int(np.log2(size))
+    Wnp, shift = int_ops._fb_constants(cfg.samplerate, cfg.nfft,
+                                       cfg.nfilters, cfg.filter_wsize,
+                                       cfg.filter_gain, 16, cfg.power_width)
+    nbins = cfg.nfft // 2
+    perm = np.zeros((size, cfg.nfilters), dtype=np.int64)
+    for r in range(size):
+        k = _bitrev(r, L)
+        if k < nbins:
+            perm[r] = Wnp[k]
+    limbs = np.stack([((perm >> (8 * i)) & 0xFF).T.astype(np.float32)
+                      for i in range(4)])          # (4, ntap, size)
+    return limbs, shift
+
+
+@functools.lru_cache(maxsize=None)
+def _dct_constants(nfilters: int):
+    """Output row extraction for the 4N DCT FFT: cepstrum k = real row
+    bitrev(k) of the 4*nfilters ladder; also the scatter rows for the
+    interleaved fill (dct_stream.py:29-34)."""
+    n4 = 4 * nfilters
+    L = int(np.log2(n4))
+    out_rows = [_bitrev(k, L) for k in range(nfilters)]
+    fill_a = [2 * k + 1 for k in range(nfilters)]
+    fill_b = [n4 - 1 - 2 * k for k in range(nfilters)]
+    return out_rows, fill_a, fill_b
+
+
+# ---------------------------------------------------------------------------
+# In-kernel ladder
+# ---------------------------------------------------------------------------
+
+def _wrap16(v):
+    return ((v & 0xFFFF) ^ 0x8000) - 0x8000
+
+
+def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16):
+    """Bit-exact natural-order DIT ladder on (size, lanes) int32 arrays.
+    twr_ref/twi_ref: (size, nstages) constant refs."""
+    L = int(np.log2(size))
+    bias = (1 << (width - 3)) - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, wr.shape[1]), 0)
+    for s in range(L):
+        d = 1 << (L - 1 - s)
+        twr = twr_ref[:, s: s + 1]
+        twi = twi_ref[:, s: s + 1]
+        is_x0 = (rows & d) == 0
+        # partner values (pltpu.roll requires non-negative shifts)
+        pr = pltpu.roll(wr, size - d, 0)   # row r -> value of row r+d
+        pi = pltpu.roll(wi, size - d, 0)
+        mr = pltpu.roll(wr, d, 0)          # row r -> value of row r-d
+        mi = pltpu.roll(wi, d, 0)
+        # butterfly at x0 rows: x0 = (wr, wi), x1 = (pr, pi)
+        x1r = jnp.where(is_x0, pr, wr)
+        x1i = jnp.where(is_x0, pi, wi)
+        x0r = jnp.where(is_x0, wr, mr)
+        x0i = jnp.where(is_x0, wi, mi)
+        m0 = (x1r + x1i) * twr
+        m1 = x1i * (twr + twi)
+        m2 = x1r * (twr - twi)
+        sub1 = (m0 + bias - m1) >> (width - 2)
+        sub2 = (m0 + bias - m2) >> (width - 2)
+        # x0 rows take y0 = (x0 + sub) >> 1 ; x1 rows take y1 = (x0 - sub) >> 1
+        sgn = jnp.where(is_x0, 1, -1)
+        wr = _wrap16((x0r + sgn * sub1) >> 1)
+        wi = _wrap16((x0i + sgn * sub2) >> 1)
+    return wr, wi
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _int_kernel(win_ref, twr_ref, twi_ref, fb_ref, dtwr_ref, dtwi_ref,
+                out_ref, dbuf_r, *, cfg: MFCCConfig, fb_shift: int):
+    nfft = cfg.nfft
+    ntap = cfg.nfilters
+    lanes = BF
+
+    # 1. bit-exact 512-pt FFT ladder (real input, imag = 0)
+    wr, wi = _ladder(win_ref[0], jnp.zeros_like(win_ref[0]),
+                     twr_ref, twi_ref, nfft)
+
+    # 2. power spectrum: (r*r + i*i) as a 32-bit field, logical >> 2
+    s = wr * wr + wi * wi
+    power = jax.lax.shift_right_logical(s, jnp.int32(2 * 16 - cfg.power_width))
+
+    # 3. integer filterbank: 8-bit limb f32 matmuls (rows pre-permuted)
+    p_limbs = [((power >> (8 * j)) & 0xFF).astype(jnp.float32)
+               for j in range(4)]
+    D = [None, None, None, None]       # base-2^23 digits of S
+    need_bits = fb_shift + 16
+    for j in range(4):
+        for i in range(4):
+            sh = 8 * (i + j)
+            if sh >= need_bits:
+                continue
+            P = jnp.dot(fb_ref[i], p_limbs[j],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            P = P.astype(jnp.int32)
+            t = sh % 23
+            dd = sh // 23
+            lo = (P & ((1 << (23 - t)) - 1)) << t
+            D[dd] = lo if D[dd] is None else D[dd] + lo
+            if dd + 1 < 4:
+                hi = P >> (23 - t)
+                D[dd + 1] = hi if D[dd + 1] is None else D[dd + 1] + hi
+    zero = jnp.zeros((ntap, lanes), jnp.int32)
+    D = [zero if v is None else v for v in D]
+    for dd in range(3):
+        D[dd + 1] = D[dd + 1] + (D[dd] >> 23)
+        D[dd] = D[dd] & ((1 << 23) - 1)
+    q, r = divmod(fb_shift, 23)
+    mel = D[q] >> r
+    if r:
+        mel = mel | (D[q + 1] << (23 - r))
+    mel = mel & 0xFFFF                               # (ntap, lanes)
+
+    # 4. Turner log2 (log.py), unrolled; precision = 11 for Log2Fix(16, 15)
+    import math
+    precision = cfg.log_precision
+    d = jnp.where(mel == 0, 1, mel)
+    shifts = jnp.zeros_like(d)
+    for jbit in range(1, 16):
+        shifts = shifts + (d >= (1 << jbit)).astype(jnp.int32)
+    z = (d << precision) >> shifts
+    res = shifts << precision
+    b = 1 << (precision - 1)
+    for _ in range(precision - 1):
+        c = z * z
+        hi = (c >> (2 * precision + 1)) & 1
+        res = res + jnp.where(hi == 1, b, 0)
+        z = jnp.where(hi == 1, c >> (precision + 1), c >> precision)
+        b >>= 1
+    logmel = res & ((1 << cfg.log_width_output) - 1)  # (ntap, lanes)
+
+    # 5. DCT-II via 4N INT FFT: interleaved scatter fill, ladder, row extract
+    out_rows, fill_a, fill_b = _dct_constants(ntap)
+    dbuf_r[:] = jnp.zeros_like(dbuf_r)
+    for k in range(ntap):
+        dbuf_r[fill_a[k], :] = logmel[k, :]
+        dbuf_r[fill_b[k], :] = logmel[k, :]
+    cr, ci = _ladder(dbuf_r[:], jnp.zeros((4 * ntap, lanes), jnp.int32),
+                     dtwr_ref, dtwi_ref, 4 * ntap)
+    for k in range(cfg.nceptrums):
+        out_ref[0, k, :] = cr[out_rows[k], :]
+
+
+def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
+                    ) -> jnp.ndarray:
+    """Fused bit-exact INT pipeline: (S, T) int32 -> (S, F, nceptrums) int32.
+
+    Pre-emphasis, framing, windowing and the (frames -> positions-major)
+    transpose run in XLA (cheap, one pass); the nine-stage ladder and all
+    later stages stay in VMEM.
+    """
+    assert cfg.nfft == 512 and cfg.nfilters in (16, 32), \
+        "kernel assumes the reference config family"
+    lead = audio.shape[:-1]
+    if audio.ndim == 1:
+        audio = audio[None]
+    elif audio.ndim > 2:
+        audio = audio.reshape(-1, audio.shape[-1])
+    emph = framing.preemphasis_int(audio.astype(jnp.int32))
+    frames = framing.extract_frames(emph, cfg.nfft, cfg.hop)
+    win = int_ops.window_int(frames, cfg.nfft, cfg.window_precision,
+                             cfg.width)                     # (S, F, nfft)
+    S, F, nfft = win.shape
+    nblocks = -(-F // BF)
+    Fp = nblocks * BF
+    if Fp > F:
+        win = jnp.pad(win, ((0, 0), (0, Fp - F), (0, 0)))
+    # (S, nblocks, BF, nfft) -> (N, nfft, BF): positions-major blocks
+    winT = win.reshape(S * nblocks, BF, nfft).swapaxes(-1, -2)
+
+    twr, twi = _ladder_constants(nfft)
+    fb_limbs, fb_shift = _fb_limb_matrix(cfg)
+    dtwr, dtwi = _ladder_constants(4 * cfg.nfilters)
+    N = S * nblocks
+    n4 = 4 * cfg.nfilters
+
+    out = pl.pallas_call(
+        functools.partial(_int_kernel, cfg=cfg, fb_shift=fb_shift),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, nfft, BF), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, twr.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, twi.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n4, dtwr.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n4, dtwi.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cfg.nceptrums, BF), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, cfg.nceptrums, BF), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n4, BF), jnp.int32),
+        ],
+    )(winT, jnp.asarray(twr), jnp.asarray(twi), jnp.asarray(fb_limbs),
+      jnp.asarray(dtwr), jnp.asarray(dtwi))
+
+    # (N, ncep, BF) -> (S, Fp, ncep) -> trim padding, restore leading dims
+    out = out.swapaxes(-1, -2).reshape(S, Fp, cfg.nceptrums)[:, :F]
+    return out.reshape(lead + (F, cfg.nceptrums))

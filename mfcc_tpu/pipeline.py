@@ -51,9 +51,18 @@ class MFCC:
         # the INT path is x64-free for the reference config family; exotic
         # filterbank layouts fall back to the int64 (x64) filterbank
         self._int_needs_x64 = not int_ops._fb_int32_layout_ok(cfg)
+        # on TPU the fused Mosaic kernel (2x faster, bit-identical) is the
+        # default for the reference config family
+        use_pallas_int = (jax.default_backend() == "tpu"
+                          and cfg.nfft == 512 and cfg.nfilters in (16, 32)
+                          and not self._int_needs_x64)
+        if use_pallas_int:
+            from .ops import pallas_int
+            int_batch = functools.partial(pallas_int.mfcc_int_pallas, cfg=cfg)
+        else:
+            int_batch = functools.partial(int_ops.mfcc_int_batch, cfg=cfg)
         with self._x64_ctx():
-            self._int_jit = jax.jit(functools.partial(
-                int_ops.mfcc_int_batch, cfg=cfg))
+            self._int_jit = jax.jit(int_batch)
             self._int_frames_jit = jax.jit(functools.partial(
                 int_ops.mfcc_int_frames, cfg=cfg))
 
