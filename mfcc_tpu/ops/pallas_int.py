@@ -199,7 +199,6 @@ def _int_kernel(win_ref, twr_ref, twi_ref, fb_ref, dtwr_ref, dtwi_ref,
     mel = mel & 0xFFFF                               # (ntap, lanes)
 
     # 4. Turner log2 (log.py), unrolled; precision = 11 for Log2Fix(16, 15)
-    import math
     precision = cfg.log_precision
     d = jnp.where(mel == 0, 1, mel)
     shifts = jnp.zeros_like(d)

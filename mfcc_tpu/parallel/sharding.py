@@ -19,7 +19,6 @@ collectives.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
