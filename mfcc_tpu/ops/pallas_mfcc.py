@@ -187,6 +187,135 @@ def mfcc_batch_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
 
 
 # ---------------------------------------------------------------------------
+# Tile-aligned chunk layout: bf=512 -> (8, 10880) blocks
+# ---------------------------------------------------------------------------
+#
+# The (N, 1, chunk_len) layout above pads its single sublane to 8: 8x HBM
+# blowup for materialization AND kernel reads.  With bf=512 frames/block the
+# chunk is 512*170 = 87040 = 8 * 10880 samples, and (8, 10880) satisfies the
+# Mosaic (8,128) tile constraint exactly -- zero padding waste.  Frames may
+# straddle a sublane-row boundary, costing at most two static copies each.
+
+BFA = 512          # frames per aligned block
+_ROWS, _ROWLEN = 8, (BFA * 170) // 8
+
+
+def _mfcc_aligned_kernel(chunk_ref, tail_ref, cs_ref, mel_ref, dct_ref,
+                         out_ref, frames_ref, *, nfft, hop, nbins, ncep,
+                         split):
+    chunk_len = BFA * hop
+
+    def src(pos, ln):
+        """static (row, col) view of flat chunk position"""
+        return chunk_ref[0, pos // _ROWLEN,
+                         pl.ds(pos % _ROWLEN, ln)]
+
+    for i in range(BFA):
+        start = i * hop
+        end = start + nfft
+        if end <= chunk_len:
+            r0, c0 = divmod(start, _ROWLEN)
+            if c0 + nfft <= _ROWLEN:
+                frames_ref[i, :] = chunk_ref[0, r0, pl.ds(c0, nfft)]
+            else:
+                head = _ROWLEN - c0
+                frames_ref[i, :head] = chunk_ref[0, r0, pl.ds(c0, head)]
+                frames_ref[i, head:] = chunk_ref[0, r0 + 1,
+                                                 pl.ds(0, nfft - head)]
+        else:
+            head = chunk_len - start          # from the last chunk row
+            r0, c0 = divmod(start, _ROWLEN)
+            frames_ref[i, :head] = chunk_ref[0, r0, pl.ds(c0, head)]
+            frames_ref[i, head:] = tail_ref[0, 0, : nfft - head]
+
+    frames = frames_ref[:]
+    if split:
+        b16 = jnp.bfloat16
+        x_hi = frames.astype(b16)
+        x_lo = (frames - x_hi.astype(jnp.float32)).astype(b16)
+        reim = jnp.dot(x_hi, cs_ref[0], preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_hi, cs_ref[1],
+                              preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_lo, cs_ref[0],
+                              preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_lo, cs_ref[1],
+                              preferred_element_type=jnp.float32)
+    else:
+        reim = jnp.dot(frames, cs_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    re = reim[:, :nbins]
+    im = reim[:, nbins:]
+    power = re * re + im * im
+    melspec = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    logmel = jnp.log2(melspec)
+    out_ref[0] = jnp.dot(logmel, dct_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def mfcc_pallas_aligned(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                        *, split: bool = True) -> jnp.ndarray:
+    """Fused float kernel with the tile-aligned (8, 10880) chunk layout:
+    (S, T) raw -> (S, F, nceptrums)."""
+    assert cfg.nfft == 512 and cfg.hop == 170
+    emph = framing.preemphasis(audio.astype(jnp.float32))
+    S, T = emph.shape
+    nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
+    nbins = nfft // 2
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nblocks = -(-F // BFA)
+    Fp = nblocks * BFA
+    chunk_len = BFA * hop
+    ov = _overlap(cfg)
+
+    T_need = nblocks * chunk_len + ov
+    if T_need > T:
+        emph = jnp.pad(emph, ((0, 0), (0, T_need - T)))
+
+    N = S * nblocks
+    chunks = emph[:, : nblocks * chunk_len].reshape(N, _ROWS, _ROWLEN)
+    tail_idx = ((jnp.arange(nblocks) + 1) * chunk_len)[:, None] + jnp.arange(ov)
+    tails = emph[:, tail_idx].reshape(N, 1, ov)
+
+    CS, mel, dct = _kernel_operators(cfg)
+    if split:
+        cs_hi = CS.astype(jnp.bfloat16)
+        cs_lo = (CS - np.asarray(cs_hi, np.float32)).astype(jnp.bfloat16)
+        cs_arg = jnp.stack([jnp.asarray(cs_hi), jnp.asarray(cs_lo)])
+        cs_spec = pl.BlockSpec((2, nfft, 2 * nbins), lambda n: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        cs_arg = jnp.asarray(CS)
+        cs_spec = pl.BlockSpec((nfft, 2 * nbins), lambda n: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mfcc_aligned_kernel, nfft=nfft, hop=hop,
+                          nbins=nbins, ncep=ncep, split=split),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, _ROWLEN), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ov), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cs_spec,
+            pl.BlockSpec((nbins, cfg.nfilters), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.nfilters, ncep), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BFA, ncep), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, BFA, ncep), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BFA, nfft), jnp.float32),
+        ],
+    )(chunks, tails, cs_arg, jnp.asarray(mel), jnp.asarray(dct))
+    return out.reshape(S, Fp, ncep)[:, :F]
+
+
+# ---------------------------------------------------------------------------
 # Segment-layout kernel: zero per-frame copies
 # ---------------------------------------------------------------------------
 #

@@ -53,6 +53,9 @@ def test_pallas_split_and_seg_variants(audio_int16):
     got_seg = np.asarray(jax.jit(
         lambda a: pallas_mfcc.mfcc_pallas_seg(a, CFG, split=True))(x))[0]
     assert np.abs(want - got_seg).max() < 5e-4
+    got_al = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_aligned(a, CFG, split=True))(x))[0]
+    assert np.abs(want - got_al).max() < 5e-4
 
 
 def test_split_matmul_accuracy():
