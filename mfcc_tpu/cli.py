@@ -88,8 +88,10 @@ def cmd_stream(args) -> int:
     n = (len(samples) // C) * C
     for ci in range(0, n, C):
         chunk = samples[ci: ci + C][None, :].astype(np.int64)
-        reset = np.array([bool(resets[ci: ci + C][0]) if args.reset_chunked
-                          else bool(resets[ci])])
+        # resets are honored at chunk granularity here (applied before the
+        # chunk containing the reset word); the server path (mfcc_tpu.server)
+        # implements sample-exact mid-chunk reset semantics.
+        reset = np.array([bool(resets[ci: ci + C].any())])
         feats, mask, state = sm.step(chunk, state, reset)
         valid = np.asarray(feats)[0][np.asarray(mask)[0]]
         if args.float:
@@ -282,7 +284,6 @@ def main(argv=None) -> int:
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--ncep", type=int, default=16)
     p.add_argument("--float", action="store_true")
-    p.add_argument("--reset-chunked", action="store_true")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("recv", help="decode framed feature stream")

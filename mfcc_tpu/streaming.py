@@ -102,7 +102,8 @@ class StreamingMFCC:
     """Multi-stream streaming front-end.
 
     float path by default; ``int_path=True`` gives the bit-exact fixed-point
-    pipeline (state and arithmetic in int32, filterbank in int64/x64).
+    pipeline (int32 state and arithmetic; x64 only for exotic filterbank
+    layouts outside the reference config family).
     """
 
     def __init__(self, cfg: MFCCConfig = MFCCConfig(), *, int_path: bool = False,
