@@ -207,21 +207,59 @@ def cmd_selftest(args) -> int:
                       + rng.integers(-2000, 2000, len(t)), -32768, 32767
                       ).astype(np.int16)
 
+    import jax
     fe = MFCC(cfg)
     ok = True
+
+    def check(name, cond, detail=""):
+        nonlocal ok
+        print(f"{name}: {'PASS' if cond else 'FAIL'} {detail}")
+        ok &= bool(cond)
+
     want_int = int_ref.mfcc_int(sig.astype(np.int64), cfg)
     got_int = np.asarray(fe.int(sig.astype(np.int64)))
-    exact = np.array_equal(want_int, got_int)
-    print(f"INT path bit-exact vs RTL oracle: {'PASS' if exact else 'FAIL'}")
-    ok &= exact
+    check("INT path bit-exact vs RTL oracle",
+          np.array_equal(want_int, got_int))
 
     want_f = float_ref.mfcc_float(sig, cfg)
     got_f = np.asarray(fe(sig.astype(np.float32)))
     err = float(np.abs(want_f - got_f).max())
-    fok = err < 5e-4
-    print(f"float path vs float64 oracle: max|err|={err:.2e} "
-          f"{'PASS' if fok else 'FAIL'}")
-    ok &= fok
+    check("float path vs float64 oracle", err < 5e-4,
+          f"(max|err|={err:.2e})")
+
+    # streaming == batch for an adversarial chunking (INT: exact)
+    from .streaming import StreamingMFCC
+    sm = StreamingMFCC(cfg, int_path=True)
+    C = 173
+    n = (len(sig) // C) * C
+    outs, _ = sm.process(sig[None, :n].astype(np.int64), chunk_size=C)
+    nf = outs[0].shape[0]
+    check("streaming == batch (chunk 173, INT exact)",
+          nf > 0 and np.array_equal(outs[0], want_int[:nf]))
+
+    # wire protocol roundtrip (sample words in, framed columns out)
+    from .io import transport
+    words = transport.encode_stream(sig[:64].astype(np.int16),
+                                    reset_first=True)
+    samples, resets = transport.decode_stream(words)
+    enc = transport.encode_frames(want_int[:3].astype(np.int16))
+    dec, _ = transport.decode_frames(b"\x00" + enc, cfg.nceptrums)
+    check("wire protocols roundtrip",
+          np.array_equal(samples, sig[:64]) and bool(resets[0])
+          and np.array_equal(dec, want_int[:3].astype(np.int16)))
+
+    # fused kernels (TPU only)
+    if jax.default_backend() == "tpu":
+        from .ops import pallas_mfcc, pallas_int
+        pk = np.asarray(jax.jit(lambda a: pallas_mfcc.mfcc_batch_pallas(
+            a, cfg, split=True))(sig[None].astype(np.float32)))[0]
+        check("fused float kernel vs float64 oracle",
+              float(np.abs(want_f - pk).max()) < 5e-4)
+        ik = np.asarray(jax.jit(lambda a: pallas_int.mfcc_int_pallas(
+            a, cfg))(sig[None].astype(np.int32)))[0]
+        check("fused INT kernel bit-exact", np.array_equal(want_int, ik))
+
+    print("SELFTEST", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
 
