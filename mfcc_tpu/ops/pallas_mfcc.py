@@ -187,6 +187,130 @@ def mfcc_batch_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
 
 
 # ---------------------------------------------------------------------------
+# Pre-emphasis folded into the DFT operator (raw-audio kernel)
+# ---------------------------------------------------------------------------
+#
+# Pre-emphasis is linear, so it composes into the windowed-DFT operator:
+# with the 513-sample extended frame x[j] = raw[start-1+j],
+#   emph_frame @ CS == x @ CS2,  CS2[j] = CS[j-1] - c*CS[j]
+# (boundary rows handled once in numpy).  The kernel then consumes RAW
+# audio -- the XLA-side pre-emphasis passes disappear.  The very first
+# frame of a stream uses prev-sample 0, matching y[0] = x[0]
+# (mfcc/core/preemph.py: the previous-sample register resets to 0).
+
+@functools.lru_cache(maxsize=None)
+def _kernel_operators_folded(cfg: MFCCConfig):
+    CS, mel, dct = _kernel_operators(cfg)
+    c = framing.EMPHASIS_COEFF
+    CS2 = np.zeros((cfg.nfft + 1, CS.shape[1]), np.float32)
+    CS2[1:] += CS
+    CS2[:-1] -= np.float32(c) * CS
+    return CS2, mel, dct
+
+
+def _mfcc_raw_kernel(chunk_ref, tail_ref, prev_ref, cs_ref, mel_ref, dct_ref,
+                     out_ref, frames_ref, *, nfft, hop, nbins, ncep, bf):
+    chunk_len = bf * hop
+    ext = nfft + 1
+
+    # extended frames: raw[start-1 : start+nfft].  Scalar VMEM stores are
+    # unsupported; splice the prev sample in via an 8-wide vector store.
+    head8 = jnp.concatenate([
+        jnp.full((1,), prev_ref[0, 0, 0], jnp.float32),
+        chunk_ref[0, 0, pl.ds(0, 7)]])
+    frames_ref[0, :8] = head8
+    frames_ref[0, 8:] = chunk_ref[0, 0, pl.ds(7, nfft - 7)]
+    for i in range(1, bf):
+        start = i * hop - 1
+        end = start + ext
+        if end <= chunk_len:
+            frames_ref[i, :] = chunk_ref[0, 0, pl.ds(start, ext)]
+        else:
+            head = chunk_len - start
+            frames_ref[i, :head] = chunk_ref[0, 0, pl.ds(start, head)]
+            frames_ref[i, head:] = tail_ref[0, 0, : ext - head]
+
+    frames = frames_ref[:]
+    b16 = jnp.bfloat16
+    x_hi = frames.astype(b16)
+    x_lo = (frames - x_hi.astype(jnp.float32)).astype(b16)
+    reim = jnp.dot(x_hi, cs_ref[0], preferred_element_type=jnp.float32)
+    reim = reim + jnp.dot(x_hi, cs_ref[1], preferred_element_type=jnp.float32)
+    reim = reim + jnp.dot(x_lo, cs_ref[0], preferred_element_type=jnp.float32)
+    reim = reim + jnp.dot(x_lo, cs_ref[1], preferred_element_type=jnp.float32)
+    re = reim[:, :nbins]
+    im = reim[:, nbins:]
+    power = re * re + im * im
+    melspec = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    logmel = jnp.log2(melspec)
+    out_ref[0] = jnp.dot(logmel, dct_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def mfcc_pallas_raw(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                    *, bf: int = BF) -> jnp.ndarray:
+    """Fused float kernel on RAW audio (pre-emphasis folded into the DFT
+    operator, bf16-split): (S, T) -> (S, F, nceptrums).  The fastest path."""
+    audio = audio.astype(jnp.float32)
+    S, T = audio.shape
+    nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
+    nbins = nfft // 2
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nblocks = -(-F // bf)
+    Fp = nblocks * bf
+    chunk_len = bf * hop
+    ov = _overlap(cfg)
+
+    T_need = nblocks * chunk_len + ov
+    if T_need > T:
+        audio = jnp.pad(audio, ((0, 0), (0, T_need - T)))
+
+    N = S * nblocks
+    chunks = audio[:, : nblocks * chunk_len].reshape(N, 1, chunk_len)
+    tail_idx = ((jnp.arange(nblocks) + 1) * chunk_len)[:, None] + jnp.arange(ov)
+    tails = audio[:, tail_idx].reshape(N, 1, ov)
+    # last raw sample before each block (0 for a stream's first block)
+    prev_idx = jnp.maximum(jnp.arange(nblocks) * chunk_len - 1, 0)
+    prevs = audio[:, prev_idx] * (jnp.arange(nblocks) > 0)
+    prevs = prevs.reshape(N, 1, 1)
+
+    CS2, mel, dct = _kernel_operators_folded(cfg)
+    cs_hi = CS2.astype(jnp.bfloat16)
+    cs_lo = (CS2 - np.asarray(cs_hi, np.float32)).astype(jnp.bfloat16)
+    cs_arg = jnp.stack([jnp.asarray(cs_hi), jnp.asarray(cs_lo)])
+
+    out = pl.pallas_call(
+        functools.partial(_mfcc_raw_kernel, nfft=nfft, hop=hop, nbins=nbins,
+                          ncep=ncep, bf=bf),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk_len), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ov), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, nfft + 1, 2 * nbins), lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbins, cfg.nfilters), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.nfilters, ncep), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bf, ncep), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, bf, ncep), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bf, nfft + 1), jnp.float32),
+        ],
+    )(chunks, tails, prevs, cs_arg, jnp.asarray(mel), jnp.asarray(dct))
+    return out.reshape(S, Fp, ncep)[:, :F]
+
+
+# ---------------------------------------------------------------------------
 # Tile-aligned chunk layout: bf=512 -> (8, 10880) blocks
 # ---------------------------------------------------------------------------
 #

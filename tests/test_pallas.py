@@ -56,6 +56,9 @@ def test_pallas_split_and_seg_variants(audio_int16):
     got_al = np.asarray(jax.jit(
         lambda a: pallas_mfcc.mfcc_pallas_aligned(a, CFG, split=True))(x))[0]
     assert np.abs(want - got_al).max() < 5e-4
+    got_raw = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_raw(a, CFG))(x))[0]
+    assert np.abs(want - got_raw).max() < 5e-4
 
 
 def test_split_matmul_accuracy():
