@@ -147,33 +147,40 @@ def main():
 
     if not args.quick:
         # side metric: bit-exact INT mode throughput (stderr only)
-        from mfcc_tpu.ops import int_ops
-        if jax.default_backend() == "tpu":
-            from mfcc_tpu.ops import pallas_int
-            int_base = lambda a: pallas_int.mfcc_int_pallas(a, cfg)
-        else:
-            int_base = lambda a: int_ops.mfcc_int_batch(a, cfg)
-        Si = min(S, 256)
-        xi = jax.device_put(jnp.asarray(
-            make_audio(Si, T).astype(np.int64), jnp.int32))
-        int(jnp.abs(xi).max())
-        fi = jax.jit(lambda a, s: int_base(a + s))
-        int(fi(xi, jnp.int32(0)).sum())
-        best_i = float("inf")
-        for rep in range(2):
-            t0 = time.perf_counter()
-            acc = [fi(xi, jnp.int32(1 + 10 * rep + i))[0, 0, 0]
-                   for i in range(6)]
-            int(jnp.stack(acc).sum())
-            best_i = min(best_i, (time.perf_counter() - t0) / 6)
-        print(f"# int (bit-exact): {Si * F / best_i / 1e6:.3f} Mframes/s "
-              f"({best_i*1e3:.2f} ms/iter, S={Si})", file=sys.stderr)
+        try:
+            from mfcc_tpu.ops import int_ops
+            if jax.default_backend() == "tpu":
+                from mfcc_tpu.ops import pallas_int
+                int_base = lambda a: pallas_int.mfcc_int_pallas(a, cfg)
+            else:
+                int_base = lambda a: int_ops.mfcc_int_batch(a, cfg)
+            Si = min(S, 256)
+            xi = jax.device_put(jnp.asarray(
+                make_audio(Si, T).astype(np.int64), jnp.int32))
+            int(jnp.abs(xi).max())
+            fi = jax.jit(lambda a, s: int_base(a + s))
+            int(fi(xi, jnp.int32(0)).sum())
+            best_i = float("inf")
+            for rep in range(2):
+                t0 = time.perf_counter()
+                acc = [fi(xi, jnp.int32(1 + 10 * rep + i))[0, 0, 0]
+                       for i in range(6)]
+                int(jnp.stack(acc).sum())
+                best_i = min(best_i, (time.perf_counter() - t0) / 6)
+            print(f"# int (bit-exact): {Si * F / best_i / 1e6:.3f} Mframes/s "
+                  f"({best_i*1e3:.2f} ms/iter, S={Si})", file=sys.stderr)
+        except Exception as e:  # side metric must never sink the bench
+            print(f"# int metric failed: {e!r}", file=sys.stderr)
 
     best = None
     for kind in candidates:
-        err = accuracy_of(cfg, kind)
-        fn = build_fn(cfg, kind)
-        dt = time_fn(fn, x, iters)
+        try:
+            err = accuracy_of(cfg, kind)
+            fn = build_fn(cfg, kind)
+            dt = time_fn(fn, x, iters)
+        except Exception as e:
+            print(f"# {kind}: FAILED ({e!r})", file=sys.stderr)
+            continue
         fps = S * F / dt
         ok = err <= ACCURACY_GATE
         print(f"# {kind}: {fps/1e6:.3f} Mframes/s ({dt*1e3:.2f} ms/iter), "
@@ -186,16 +193,18 @@ def main():
                           "unit": "frames/s", "vs_baseline": 0.0}))
         return 1
 
+    fps = best[0]
     if not args.quick:
         # refine the winner with device-side repetition so per-call dispatch
         # overhead (~2-4 ms through remote tunnels) doesn't pollute the
         # steady-state number
-        fps = time_fused(cfg, best[1], x, S * F, reps=4, iters=4)
-        print(f"# winner {best[1]} fused-dispatch: {fps/1e6:.3f} Mframes/s",
-              file=sys.stderr)
-        fps = max(fps, best[0])
-    else:
-        fps = best[0]
+        try:
+            fused = time_fused(cfg, best[1], x, S * F, reps=4, iters=4)
+            print(f"# winner {best[1]} fused-dispatch: "
+                  f"{fused/1e6:.3f} Mframes/s", file=sys.stderr)
+            fps = max(fused, fps)
+        except Exception as e:
+            print(f"# fused refinement failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "mfcc_frames_per_second",
