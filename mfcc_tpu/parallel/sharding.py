@@ -62,15 +62,17 @@ def mfcc_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
         else:
             cep = float_ops.mfcc_batch(audio, cfg, method=method,
                                        precision=precision, dtype=dtype)
-        # frames axis sharded over sp, streams over dp
-        cep = jax.lax.with_sharding_constraint(
-            cep, NamedSharding(mesh, P("dp", "sp", None)))
+        # frames axis sharded over sp when divisible (otherwise frames stay
+        # replicated along sp; streams remain dp-sharded)
+        sp = mesh.shape.get("sp", 1)
+        fspec = P("dp", "sp", None) if cep.shape[1] % sp == 0 \
+            else P("dp", None, None)
+        cep = jax.lax.with_sharding_constraint(cep, NamedSharding(mesh, fspec))
         # a global scalar metric (mean c0 energy) -> all-reduce over the mesh
         energy = jnp.mean(cep[..., 0].astype(jnp.float32) ** 2)
         return cep, energy
 
-    return jax.jit(fn, out_shardings=(
-        NamedSharding(mesh, P("dp", "sp", None)), NamedSharding(mesh, P())))
+    return jax.jit(fn)
 
 
 def streaming_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
