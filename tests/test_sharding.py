@@ -30,6 +30,22 @@ def test_sharded_matches_unsharded(audio_int16):
     assert np.isfinite(float(energy))
 
 
+def test_sharded_int_path_exact(audio_int16):
+    """The bit-exact INT pipeline under mesh sharding stays element-exact."""
+    from mfcc_tpu.ref import int_ref
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    batch = np.stack([audio_int16] * max(4, 2 * n)).astype(np.int32)
+    x = shard_streams(jnp.asarray(batch), mesh)
+    fn = mfcc_sharded_fn(mesh, CFG, int_path=True)
+    cep, energy = fn(x)
+    want = int_ref.mfcc_int(audio_int16.astype(np.int64), CFG)
+    got = np.asarray(cep)
+    for s in range(batch.shape[0]):
+        assert np.array_equal(got[s], want)
+    assert np.isfinite(float(energy))
+
+
 def test_graft_entry_single():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
