@@ -1,10 +1,20 @@
-.PHONY: test bench native selftest clean
+.PHONY: test test-multichip bench native selftest clean
 
 native:
 	$(MAKE) -C native
 
 test: native
 	python -m pytest tests/ -x -q
+
+# Whole suite on a real 8-device virtual CPU mesh, regardless of the ambient
+# platform: PYTHONPATH is scrubbed so a jax-pre-importing sitecustomize (the
+# TPU tunnel) cannot pin the platform first.  MFCC_REQUIRE_DEVICES makes a
+# silent single-device degrade a hard failure.
+test-multichip:
+	env PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu \
+	  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  MFCC_REQUIRE_DEVICES=8 \
+	  python -m pytest tests/ -x -q
 
 bench:
 	python bench.py

@@ -1,11 +1,20 @@
 #!/usr/bin/env python3
 """Benchmark: MFCC frames/second on one chip (the BASELINE metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"int_frames_per_second", "int_bit_exact"}.
 
 vs_baseline is against the reference's derived whole-core throughput of
 ~50k frames/s on its FPGA (BASELINE.md: per-frame cost ~ max(512-cycle
 ingest, 2304-cycle FFT) at 125 MHz).
+
+Two first-class numbers (round-1 VERDICT item 3: the bit-exact INT
+throughput is a headline, not a stderr side note):
+  * mfcc_frames_per_second  -- float path, accuracy-gated at 5e-4 vs the
+    float64 oracle; the fastest qualifying formulation wins.
+  * int_frames_per_second   -- fixed-point path, gated on BIT-EXACT equality
+    with the RTL oracle (mfcc_tpu.ref.int_ref); reported as 0 if the gate
+    or the run fails, so regressions are machine-visible.
 
 Methodology notes (the axon TPU tunnel makes naive timing lie):
   * repeated identical (fn, args) calls can be served from a result cache ->
@@ -13,12 +22,9 @@ Methodology notes (the axon TPU tunnel makes naive timing lie):
   * block_until_ready through the tunnel is unreliable -> completion is
     forced by a host readback of a scalar depending on every iteration;
   * per-call dispatch overhead is ~10 ms -> iterations are enqueued
-    back-to-back (async) so dispatch overlaps device compute, and the batch
-    is large enough that compute dominates.
-
-The bench autotunes over pipeline formulations, keeping only those whose
-accuracy vs the float64 oracle stays within the gate, and reports the
-fastest qualifying configuration.
+    back-to-back (async) so dispatch overlaps device compute, and the
+    winner is refined with several pipeline runs fused into ONE dispatch
+    (time_fused) so steady-state throughput isn't dispatch-bound.
 """
 
 import argparse
@@ -31,6 +37,7 @@ import numpy as np
 
 ACCURACY_GATE = 5e-4          # max-abs-err vs float64 oracle, real-scale audio
 BASELINE_FRAMES_PER_S = 50e3  # reference FPGA derived throughput (BASELINE.md)
+INT_TARGET_FRAMES_PER_S = 9.4e6  # 100k concurrent 16 kHz streams (BASELINE.md)
 
 
 def make_audio(S, T, seed=0):
@@ -42,35 +49,49 @@ def make_audio(S, T, seed=0):
     return np.clip(base[None, :] + noise, -32768, 32767).astype(np.float32)
 
 
-def build_fn(cfg, kind):
-    import jax
+def resolve_base(cfg, kind):
+    """kind -> (S, T) -> (S, F, ncep) pipeline callable."""
     import functools
     from mfcc_tpu.ops import float_ops, pallas_mfcc
 
     if kind == "pallas":
-        base = lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg)
-    elif kind == "pallas-split":
-        base = lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg, split=True)
-    elif kind.endswith("-split"):
-        base = functools.partial(float_ops.mfcc_batch, cfg=cfg,
+        return lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg)
+    if kind == "pallas-split":
+        return lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg, split=True)
+    if kind == "int":
+        import jax
+        if jax.default_backend() == "tpu":
+            from mfcc_tpu.ops import pallas_int
+            return lambda a: pallas_int.mfcc_int_pallas(a, cfg)
+        from mfcc_tpu.ops import int_ops
+        return lambda a: int_ops.mfcc_int_batch(a, cfg)
+    if kind.endswith("-split"):
+        return functools.partial(float_ops.mfcc_batch, cfg=cfg,
                                  method=kind[:-6], precision="split")
-    else:
-        base = functools.partial(float_ops.mfcc_batch, cfg=cfg, method=kind)
+    return functools.partial(float_ops.mfcc_batch, cfg=cfg, method=kind)
+
+
+def build_fn(cfg, kind):
+    import jax
+    base = resolve_base(cfg, kind)
     # salt defeats any result caching; costs one elementwise pass
     return jax.jit(lambda a, salt: base(a + salt))
 
 
-def time_fn(fn, x, iters):
+def time_fn(fn, x, iters, salt_dtype=None):
     import jax.numpy as jnp
-    float(fn(x, jnp.float32(0.0)).sum())               # warm / compile
-    probe = [fn(x, jnp.float32(100.0 + i))[0, 0, 0] for i in range(2)]
-    float(jnp.stack(probe).sum())                      # settle eager helper ops
+    salt_dtype = salt_dtype or x.dtype
+    mk = lambda v: jnp.asarray(v, salt_dtype)
+    red = int if jnp.issubdtype(salt_dtype, jnp.integer) else float
+    red(fn(x, mk(0)).sum())                            # warm / compile
+    probe = [fn(x, mk(100 + i))[0, 0, 0] for i in range(2)]
+    red(jnp.stack(probe).sum())                        # settle eager helper ops
     best = float("inf")
     for rep in range(2):                               # best-of-2 kills order effects
         t0 = time.perf_counter()
-        acc = [fn(x, jnp.float32(1.0 + 100 * rep + i))[0, 0, 0]
+        acc = [fn(x, mk(1 + 100 * rep + i))[0, 0, 0]
                for i in range(iters)]
-        float(jnp.stack(acc).sum())                    # force everything
+        red(jnp.stack(acc).sum())                      # force everything
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -79,29 +100,23 @@ def time_fused(cfg, kind, x, nframes, reps=4, iters=4):
     """Time `reps` device-side pipeline runs fused into one dispatch."""
     import jax
     import jax.numpy as jnp
-    import functools
-    from mfcc_tpu.ops import float_ops, pallas_mfcc
 
-    if kind == "pallas":
-        base = lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg)
-    elif kind == "pallas-split":
-        base = lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg, split=True)
-    elif kind.endswith("-split"):
-        base = functools.partial(float_ops.mfcc_batch, cfg=cfg,
-                                 method=kind[:-6], precision="split")
-    else:
-        base = functools.partial(float_ops.mfcc_batch, cfg=cfg, method=kind)
+    base = resolve_base(cfg, kind)
+    salt_dtype = x.dtype
+    intlike = jnp.issubdtype(salt_dtype, jnp.integer)
+    red = int if intlike else float
 
     def repfn(a, s):
         return jnp.stack([base(a + (s + r))[0, 0, 0] for r in range(reps)])
 
     fn = jax.jit(repfn)
-    float(fn(x, jnp.float32(0.0)).sum())
+    red(fn(x, jnp.asarray(0, salt_dtype)).sum())
     best = float("inf")
     for rep in range(2):
         t0 = time.perf_counter()
-        acc = [fn(x, jnp.float32(1 + 10 * rep + i)) for i in range(iters)]
-        float(jnp.stack(acc).sum())
+        acc = [fn(x, jnp.asarray(1 + 10 * rep + i, salt_dtype))
+               for i in range(iters)]
+        red(jnp.stack(acc).sum())
         best = min(best, (time.perf_counter() - t0) / (iters * reps))
     return nframes / best
 
@@ -114,6 +129,42 @@ def accuracy_of(cfg, kind):
     fn = build_fn(cfg, kind)
     got = np.asarray(fn(jnp.asarray(sig), jnp.float32(0.0)))
     return float(np.abs(want - got).max())
+
+
+def int_exactness(cfg):
+    """Gate: the timed INT formulation must be element-exact vs the RTL
+    oracle on a real-scale signal."""
+    import jax
+    import jax.numpy as jnp
+    from mfcc_tpu.ref import int_ref
+    sig = make_audio(2, 512 + 6 * 170, seed=9).astype(np.int64)
+    want = np.stack([int_ref.mfcc_int(sig[i], cfg) for i in range(2)])
+    got = np.asarray(jax.jit(resolve_base(cfg, "int"))(
+        jnp.asarray(sig, jnp.int32)))
+    return bool(np.array_equal(want, got))
+
+
+def bench_int(cfg, S, T, F, iters):
+    """First-class INT benchmark: (frames/s, bit_exact).  Never raises."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        exact = int_exactness(cfg)
+        xi = jax.device_put(jnp.asarray(make_audio(S, T, seed=3), jnp.int32))
+        int(jnp.abs(xi).max())                  # force residency
+        fn = build_fn(cfg, "int")
+        dt = time_fn(fn, xi, iters, salt_dtype=jnp.int32)
+        fps = S * F / dt
+        print(f"# int (bit-exact={exact}): {fps/1e6:.3f} Mframes/s "
+              f"({dt*1e3:.2f} ms/iter, S={S})", file=sys.stderr)
+        fused = time_fused(cfg, "int", xi, S * F, reps=4, iters=4)
+        print(f"# int fused-dispatch: {fused/1e6:.3f} Mframes/s "
+              f"(target {INT_TARGET_FRAMES_PER_S/1e6:.1f})", file=sys.stderr)
+        fps = max(fps, fused)
+        return (fps, exact) if exact else (0.0, False)
+    except Exception as e:
+        print(f"# int bench FAILED: {e!r}", file=sys.stderr)
+        return 0.0, False
 
 
 def main():
@@ -145,32 +196,9 @@ def main():
     x = jax.device_put(jnp.asarray(make_audio(S, T)))
     float(x.sum())  # force residency
 
+    int_fps, int_exact = (0.0, False)
     if not args.quick:
-        # side metric: bit-exact INT mode throughput (stderr only)
-        try:
-            from mfcc_tpu.ops import int_ops
-            if jax.default_backend() == "tpu":
-                from mfcc_tpu.ops import pallas_int
-                int_base = lambda a: pallas_int.mfcc_int_pallas(a, cfg)
-            else:
-                int_base = lambda a: int_ops.mfcc_int_batch(a, cfg)
-            Si = min(S, 256)
-            xi = jax.device_put(jnp.asarray(
-                make_audio(Si, T).astype(np.int64), jnp.int32))
-            int(jnp.abs(xi).max())
-            fi = jax.jit(lambda a, s: int_base(a + s))
-            int(fi(xi, jnp.int32(0)).sum())
-            best_i = float("inf")
-            for rep in range(2):
-                t0 = time.perf_counter()
-                acc = [fi(xi, jnp.int32(1 + 10 * rep + i))[0, 0, 0]
-                       for i in range(6)]
-                int(jnp.stack(acc).sum())
-                best_i = min(best_i, (time.perf_counter() - t0) / 6)
-            print(f"# int (bit-exact): {Si * F / best_i / 1e6:.3f} Mframes/s "
-                  f"({best_i*1e3:.2f} ms/iter, S={Si})", file=sys.stderr)
-        except Exception as e:  # side metric must never sink the bench
-            print(f"# int metric failed: {e!r}", file=sys.stderr)
+        int_fps, int_exact = bench_int(cfg, S, T, F, max(6, iters // 2))
 
     best = None
     for kind in candidates:
@@ -190,7 +218,9 @@ def main():
 
     if best is None:
         print(json.dumps({"metric": "mfcc_frames_per_second", "value": 0,
-                          "unit": "frames/s", "vs_baseline": 0.0}))
+                          "unit": "frames/s", "vs_baseline": 0.0,
+                          "int_frames_per_second": round(int_fps, 1),
+                          "int_bit_exact": int_exact}))
         return 1
 
     fps = best[0]
@@ -211,6 +241,8 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_S, 2),
+        "int_frames_per_second": round(int_fps, 1),
+        "int_bit_exact": int_exact,
     }))
     return 0
 

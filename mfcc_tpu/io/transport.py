@@ -34,14 +34,21 @@ def encode_stream(samples: np.ndarray, reset_first: bool = False) -> np.ndarray:
 
 
 def decode_stream(words: np.ndarray):
-    """uint32 words -> (samples int16, resets bool); resets[i] True when a
-    reset word preceded sample i."""
+    """uint32 words -> (samples int16, resets bool, trailing_reset bool).
+
+    ``resets[i]`` is True when a reset word preceded sample i within this
+    buffer.  ``trailing_reset`` is True when the buffer ends with a reset
+    word whose following sample has not arrived yet -- the reference host
+    sends the reset as its own 4-byte write (software/main.c mfcc_softreset),
+    so a reset landing alone at a recv boundary MUST be carried forward by
+    the caller, not dropped (round-1 ADVICE, high)."""
     words = np.asarray(words, dtype=np.uint32)
     is_reset = (words & np.uint32(RESET_WORD)) != 0
     samples = (words[~is_reset] & np.uint32(0xFFFF)).astype(np.uint16
                                                             ).astype(np.int16)
     # a reset applies to the next surviving sample
     resets = np.zeros(len(samples), dtype=bool)
+    trailing = False
     idx = np.flatnonzero(is_reset)
     if len(idx):
         keep_pos = np.cumsum(~is_reset) - 1     # sample index per word
@@ -49,7 +56,34 @@ def decode_stream(words: np.ndarray):
             nxt = keep_pos[i] + 1
             if nxt < len(samples):
                 resets[nxt] = True
-    return samples, resets
+            else:
+                trailing = True
+    return samples, resets, trailing
+
+
+def split_resets(samples: np.ndarray, resets: np.ndarray,
+                 trailing_reset: bool = False) -> list:
+    """Segment decoded samples at reset points -> [(samples, reset_first)].
+
+    The single source of truth for sample-exact soft-reset semantics, shared
+    by the server and the CLI (round-1 VERDICT item 9): each segment's
+    samples belong to one reset epoch; ``reset_first`` means a reset word
+    immediately preceded the segment's first sample.  A trailing reset (no
+    following sample yet) becomes a zero-length reset-first sentinel so the
+    caller preserves arrival order."""
+    segs = []
+    start = 0
+    reset_first = False
+    for r in np.flatnonzero(resets):
+        if r > start:
+            segs.append((samples[start:r], reset_first))
+        start = int(r)
+        reset_first = True
+    if start < len(samples):
+        segs.append((samples[start:], reset_first))
+    if trailing_reset:
+        segs.append((samples[:0], True))
+    return segs
 
 
 # -- Magic-framed feature columns ---------------------------------------------

@@ -237,6 +237,12 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
     """
     assert cfg.nfft == 512 and cfg.nfilters in (16, 32), \
         "kernel assumes the reference config family"
+    # the kernel's datapath is hardwired to the 16-bit sample format
+    # (_wrap16 butterflies, the 2*width-power_width power shift, the
+    # width-pass log normalize); other widths must use int_ops
+    assert cfg.width == 16 and cfg.window_precision == 8 \
+        and cfg.power_width == 30, \
+        "kernel hardcodes the 16-bit datapath; use int_ops for other widths"
     lead = audio.shape[:-1]
     if audio.ndim == 1:
         audio = audio[None]

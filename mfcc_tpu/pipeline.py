@@ -52,9 +52,14 @@ class MFCC:
         # filterbank layouts fall back to the int64 (x64) filterbank
         self._int_needs_x64 = not int_ops._fb_int32_layout_ok(cfg)
         # on TPU the fused Mosaic kernel (2x faster, bit-identical) is the
-        # default for the reference config family
+        # default for the reference config family.  The kernel hardcodes the
+        # 16-bit datapath (_wrap16, the 2*16-power_width shift, the 16-pass
+        # log normalize), so any width change must fall back to int_ops,
+        # which honors cfg.width (round-1 ADVICE, low).
         use_pallas_int = (jax.default_backend() == "tpu"
                           and cfg.nfft == 512 and cfg.nfilters in (16, 32)
+                          and cfg.width == 16 and cfg.window_precision == 8
+                          and cfg.power_width == 30
                           and not self._int_needs_x64)
         if use_pallas_int:
             from .ops import pallas_int

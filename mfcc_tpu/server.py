@@ -51,6 +51,8 @@ class _Slot:
     rx_words: int = 0
     tx_frames: int = 0
     reset_pending: bool = False
+    eof: bool = False              # client closed its write side: flush
+    busy: bool = False             # a gathered chunk is in flight (stepper)
 
 
 class FeatureServer:
@@ -101,6 +103,7 @@ class FeatureServer:
                     s.rx_words = 0
                     s.tx_frames = 0
                     s.reset_pending = True   # fresh stream = reset carry
+                    s.eof = False
                     return i
         return -1
 
@@ -135,38 +138,42 @@ class FeatureServer:
                 tail = buf[usable:]
                 if len(words) == 0:
                     continue
-                samples, resets = transport.decode_stream(words)
+                samples, resets, trailing_reset = \
+                    transport.decode_stream(words)
                 if log.isEnabledFor(logging.DEBUG):
                     log.debug("slot %d rx %d words: %s%s", idx, len(words),
                               " ".join(f"{w:08x}" for w in words[:8]),
                               " ..." if len(words) > 8 else "")
                 with slot.lock:
                     slot.rx_words += len(words)
-                    # split at reset points so resets land on chunk starts
-                    idxs = np.flatnonzero(resets)
-                    start = 0
-                    segs = []
-                    for r in idxs:
-                        if r > start:
-                            segs.append((samples[start:r], False))
-                        start = r
-                        segs.append(None)  # marker: next segment reset-first
-                    if start < len(samples):
-                        segs.append((samples[start:], False))
-                    reset_next = False
-                    for seg in segs:
-                        if seg is None:
-                            reset_next = True
-                            continue
-                        s_arr, _ = seg
-                        slot.pending.append((s_arr, reset_next))
+                    # split at reset points so resets land on chunk starts;
+                    # a trailing reset word at the recv boundary becomes a
+                    # zero-length reset-first sentinel, preserving arrival
+                    # order after already-buffered samples (round-1 ADVICE,
+                    # high: the reference host sends the reset as its own
+                    # 4-byte write, software/main.c mfcc_softreset)
+                    for s_arr, reset_first in transport.split_resets(
+                            samples, resets, trailing_reset):
+                        slot.pending.append((s_arr, reset_first))
                         slot.n_buffered += len(s_arr)
-                        reset_next = False
-                    if reset_next:
-                        slot.reset_pending = True
+            # client closed its write side: flush the residual (< chunk)
+            # samples through a length-limited step, then release the slot
+            # (round-1 ADVICE, low: no silent partial-chunk drop)
+            with slot.lock:
+                slot.eof = True
+            deadline = time.time() + 30.0
+            while time.time() < deadline and not self._stop.is_set():
+                with slot.lock:
+                    # drained means: nothing buffered AND no gathered chunk
+                    # still being computed/sent by the stepper
+                    if slot.n_buffered == 0 and not slot.pending \
+                            and not slot.busy:
+                        break
+                time.sleep(self._tick_s)
         finally:
             with slot.lock:
                 slot.send = None
+                slot.eof = False
             log.info("client on slot %d disconnected (rx=%d words, "
                      "tx=%d frames)", idx, slot.rx_words, slot.tx_frames)
             try:
@@ -177,31 +184,36 @@ class FeatureServer:
     # -- batched stepper ------------------------------------------------------
 
     def _gather(self):
-        """Collect one chunk per ready slot -> (chunks, resets, active)."""
+        """Collect one chunk per ready slot -> (chunks, resets, active,
+        lengths).  An EOF'd slot with a residual partial run is flushed as a
+        zero-padded chunk with an explicit sample length."""
         C = self.chunk
         S = self.max_streams
         chunks = np.zeros((S, C), dtype=np.int64 if self.int_path
                           else np.float32)
         resets = np.zeros(S, dtype=bool)
         active = np.zeros(S, dtype=bool)
+        lengths = np.full(S, C, dtype=np.int32)
         for i, slot in enumerate(self._slots):
             with slot.lock:
-                if slot.send is None or slot.n_buffered < C:
+                if slot.send is None or (slot.n_buffered < C
+                                         and not slot.eof):
                     continue
-                # A chunk must hold samples of ONE reset epoch.  If a reset
-                # arrives before a chunk fills, the pre-reset run is
-                # discarded -- the hardware semantics: soft reset clears all
-                # in-flight pipeline data (ResetInserter, mfcc.py:116).
+                # A chunk holds samples of ONE reset epoch.  In hardware,
+                # frames complete continuously as samples arrive, and a soft
+                # reset drops only the in-flight partial window
+                # (ResetInserter, mfcc.py:116).  Matching that: when a reset
+                # word arrives mid-fill, the pre-reset run is FLUSHED as a
+                # length-limited chunk (its completable frames are emitted),
+                # and the reset epoch starts on the next gather.
                 got = 0
                 reset_first = slot.reset_pending
                 slot.reset_pending = False
                 while got < C and slot.pending:
                     s_arr, seg_reset = slot.pending[0]
                     if seg_reset:
-                        if got:           # discard the pre-reset partial run
-                            slot.n_buffered -= got
-                            chunks[i, :got] = 0
-                            got = 0
+                        if got:           # flush the pre-reset run first
+                            break
                         reset_first = True
                         slot.pending[0] = (s_arr, False)
                         continue
@@ -213,24 +225,43 @@ class FeatureServer:
                     else:
                         slot.pending[0] = (s_arr[take:], False)
                 if got < C:
-                    # not enough post-reset data yet: put the run back intact
-                    if got:
-                        slot.pending.insert(0, (chunks[i, :got].copy()
-                                                .astype(chunks.dtype), False))
-                        chunks[i, :got] = 0
-                    slot.reset_pending = reset_first
-                    continue
+                    if got and (slot.pending or slot.eof):
+                        # run bounded by a reset word (pending head) or by
+                        # EOF: flush as a length-limited chunk (padding is
+                        # masked out, carry keeps only real samples)
+                        lengths[i] = got
+                    else:
+                        # not enough data yet: put the run back intact
+                        if got:
+                            slot.pending.insert(
+                                0, (chunks[i, :got].copy()
+                                    .astype(chunks.dtype), False))
+                            chunks[i, :got] = 0
+                        slot.reset_pending = reset_first
+                        continue
                 slot.n_buffered -= got
                 resets[i] = reset_first
                 active[i] = True
-        return chunks, resets, active
+                slot.busy = True
+        return chunks, resets, active, lengths
 
     def _step_once(self) -> bool:
         jnp = self._jnp
-        chunks, resets, active = self._gather()
+        chunks, resets, active, lengths = self._gather()
         if not active.any():
             return False
-        feats, mask, new_state = self._sm.step(chunks, self._state, resets)
+        try:
+            return self._compute_and_send(chunks, resets, active, lengths)
+        finally:
+            for i, slot in enumerate(self._slots):
+                if active[i]:
+                    with slot.lock:
+                        slot.busy = False
+
+    def _compute_and_send(self, chunks, resets, active, lengths) -> bool:
+        jnp = self._jnp
+        feats, mask, new_state = self._sm.step(chunks, self._state, resets,
+                                               lengths=lengths)
         # roll back state of inactive slots (they were fed zeros)
         act = jnp.asarray(active)
         self._state = self._jax.tree_util.tree_map(
@@ -297,15 +328,24 @@ class FeatureServer:
 
 def stream_samples(host: str, port: int, samples: np.ndarray, ncep: int, *,
                    reset_first: bool = True, expect_frames: int | None = None,
-                   timeout: float = 60.0) -> np.ndarray:
-    """Send int16 samples to a FeatureServer, return decoded feature columns."""
+                   timeout: float = 60.0, eof: bool = True) -> np.ndarray:
+    """Send int16 samples to a FeatureServer, return decoded feature columns.
+
+    With ``eof=True`` (default) the write side is shut down after sending, so
+    the server flushes the final partial chunk and the read loop terminates
+    on server close instead of waiting out the timeout.  The buffer is
+    trimmed by ``consumed`` after each decode, so cost stays linear in the
+    stream length."""
     words = transport.encode_stream(np.asarray(samples, np.int16),
                                     reset_first=reset_first)
     with socket.create_connection((host, port), timeout=timeout) as sock:
         sock.sendall(words.astype("<u4").tobytes())
+        if eof:
+            sock.shutdown(socket.SHUT_WR)
         sock.settimeout(timeout)
         buf = b""
         frames = []
+        n_frames = 0
         deadline = time.time() + timeout
         while time.time() < deadline:
             try:
@@ -316,9 +356,11 @@ def stream_samples(host: str, port: int, samples: np.ndarray, ncep: int, *,
                 break
             buf += data
             cols, consumed = transport.decode_frames(buf, ncep)
+            buf = buf[consumed:]
             if len(cols):
-                frames = [cols]  # decode_frames re-decodes the whole buffer
-            if expect_frames is not None and frames and \
-                    frames[0].shape[0] >= expect_frames:
+                frames.append(cols)
+                n_frames += len(cols)
+            if expect_frames is not None and n_frames >= expect_frames:
                 break
-        return frames[0] if frames else np.zeros((0, ncep), np.int16)
+        return (np.concatenate(frames) if frames
+                else np.zeros((0, ncep), np.int16))

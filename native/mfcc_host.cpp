@@ -56,6 +56,12 @@ int mfcc_wav_read(const char *path, int16_t **out, int64_t *n_samples,
   FILE *f = fopen(path, "rb");
   if (!f) return MFCC_ERR_OPEN;
 
+  // actual file size: chunk sizes are attacker-controlled 32-bit values and
+  // must be validated against it before any allocation
+  fseek(f, 0, SEEK_END);
+  int64_t file_size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+
   uint8_t hdr[12];
   if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) ||
       memcmp(hdr + 8, "WAVE", 4)) {
@@ -84,12 +90,24 @@ int mfcc_wav_read(const char *path, int16_t **out, int64_t *n_samples,
       bits = rd_u16(fmt + 14);
       if (cksize > 16) fseek(f, cksize - 16, SEEK_CUR);
     } else if (!memcmp(ck, "data", 4)) {
-      if (!channels || !bits) {
+      // reject malformed fmt before the division: bits in 1..7 passes a
+      // !bits check but makes bytes_per 0 -> SIGFPE (round-1 ADVICE, medium)
+      if (!channels || !bits || (bits % 8) != 0) {
         fclose(f);
         free(buf);
         return MFCC_ERR_FORMAT;
       }
       uint32_t bytes_per = (bits / 8) * channels;
+      if (bytes_per == 0) {
+        fclose(f);
+        free(buf);
+        return MFCC_ERR_FORMAT;
+      }
+      // clamp the declared chunk size to the bytes actually present, so a
+      // corrupt 32-bit cksize cannot drive a multi-GiB allocation
+      int64_t remaining = file_size - (int64_t)ftell(f);
+      if (remaining < 0) remaining = 0;
+      if ((int64_t)cksize > remaining) cksize = (uint32_t)remaining;
       nsamp = cksize / bytes_per;
       buf = (int16_t *)malloc(sizeof(int16_t) * (size_t)nsamp);
       if (!buf) {
@@ -200,6 +218,10 @@ int64_t mfcc_encode_stream_words(const int16_t *samples, int64_t n,
 
 // Decode words -> samples; reset events set resets[i]=1 for the position in
 // the OUTPUT sample stream where a reset occurred (before that sample).
+// A trailing reset (no following sample in this buffer) is reported as
+// resets[s]=1 at the one-past-the-end position (s = return value; safe since
+// a reset word consumed an input slot, so s < n) -- callers must carry it,
+// matching transport.decode_stream's trailing_reset flag.
 int64_t mfcc_decode_stream_words(const uint32_t *words, int64_t n,
                                  int16_t *samples, uint8_t *resets) {
   int64_t s = 0;
@@ -214,6 +236,7 @@ int64_t mfcc_decode_stream_words(const uint32_t *words, int64_t n,
     pending_reset = 0;
     s++;
   }
+  if (pending_reset && s < n) resets[s] = 1;
   return s;
 }
 

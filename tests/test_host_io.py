@@ -14,6 +14,30 @@ def test_native_builds():
     assert native.available(), "native lib should build in this environment"
 
 
+def test_native_wav_rejects_malformed(tmp_path):
+    """Round-1 ADVICE (medium): bits in 1..7 must be rejected before the
+    bytes-per-sample division (SIGFPE), and a huge declared data-chunk size
+    must be clamped to the actual file size, not allocated."""
+    import struct
+
+    def wav_bytes(bits, data_cksize, payload=b""):
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * max(bits // 8, 1),
+                          max(bits // 8, 1), bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+                b"data" + struct.pack("<I", data_cksize) + payload)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    p1 = tmp_path / "bits4.wav"
+    p1.write_bytes(wav_bytes(4, 8, b"\x00" * 8))
+    with pytest.raises(IOError):          # must error, not crash the process
+        native.wav_read(str(p1))
+
+    p2 = tmp_path / "hugechunk.wav"       # declares ~4 GiB, holds 8 bytes
+    p2.write_bytes(wav_bytes(16, 0xFFFFFFF0, b"\x01\x00\x02\x00" * 2))
+    s, r = native.wav_read(str(p2))       # clamped to the 4 real samples
+    assert list(s) == [1, 2, 1, 2] and r == 16000
+
+
 def test_native_wav_matches_scipy(reference_wav):
     s, r = native.wav_read("/root/reference/f2bjrop1.0.wav")
     assert r == 16000
@@ -38,14 +62,33 @@ def test_stream_words_roundtrip():
     samples = np.array([0, 1, -1, 32767, -32768, 123], np.int16)
     words = transport.encode_stream(samples, reset_first=True)
     assert words[0] == 0x80000000
-    got, resets = transport.decode_stream(words)
+    got, resets, trailing = transport.decode_stream(words)
     assert np.array_equal(got, samples)
-    assert resets[0] and not resets[1:].any()
+    assert resets[0] and not resets[1:].any() and not trailing
     # mid-stream reset
     w2 = np.concatenate([words[1:3], [np.uint32(0x80000000)], words[3:]])
-    got2, resets2 = transport.decode_stream(w2)
+    got2, resets2, t2 = transport.decode_stream(w2)
     assert np.array_equal(got2, samples)
     assert resets2.tolist() == [False, False, True, False, False, False]
+    assert not t2
+    # a trailing / lone reset word must be reported, not dropped
+    _, _, t3 = transport.decode_stream(np.array([0x80000000], np.uint32))
+    assert t3
+    s4, r4, t4 = transport.decode_stream(
+        np.concatenate([words[1:3], [np.uint32(0x80000000)]]))
+    assert len(s4) == 2 and not r4.any() and t4
+
+
+def test_split_resets():
+    s = np.arange(10, dtype=np.int16)
+    r = np.zeros(10, bool)
+    r[[0, 4]] = True
+    segs = transport.split_resets(s, r, trailing_reset=True)
+    assert [(seg.tolist(), rf) for seg, rf in segs] == [
+        ([0, 1, 2, 3], True), ([4, 5, 6, 7, 8, 9], True), ([], True)]
+    segs2 = transport.split_resets(s, np.zeros(10, bool))
+    assert len(segs2) == 1 and not segs2[0][1] \
+        and np.array_equal(segs2[0][0], s)
 
 
 def test_framed_features_roundtrip_and_resync():

@@ -97,14 +97,16 @@ def test_feature_server_roundtrip(audio_int16):
         assert np.array_equal(cols[len(want): 2 * len(want)],
                               want.astype(np.int16))
 
-        # UNALIGNED reset (mid-chunk): pre-reset residue that cannot fill a
-        # chunk is discarded (hardware ResetInserter semantics), and the
+        # UNALIGNED reset (mid-chunk): the pre-reset run is flushed as a
+        # length-limited chunk, so ALL its completable frames are emitted
+        # (hardware emits frames continuously as samples arrive; a soft
+        # reset drops only the in-flight partial window), then the
         # post-reset stream starts clean.
         pre = audio_int16[:1500]            # 1024 chunk + 476 residue
         words = np.concatenate([
             transport.encode_stream(pre, reset_first=True),
             transport.encode_stream(sig, reset_first=True)])
-        want_pre = int_ref.mfcc_int(pre[:1024].astype(np.int64), CFG)
+        want_pre = int_ref.mfcc_int(pre.astype(np.int64), CFG)  # 6 frames
         with socket.create_connection((host, port), timeout=90) as sock:
             sock.sendall(words.astype("<u4").tobytes())
             sock.settimeout(90)
@@ -122,6 +124,59 @@ def test_feature_server_roundtrip(audio_int16):
                               want_pre.astype(np.int16))
         assert np.array_equal(cols[len(want_pre): target],
                               want.astype(np.int16))
+    finally:
+        srv.stop()
+
+
+def test_server_trailing_reset_and_eof_flush(audio_int16):
+    """Round-1 ADVICE (high): a reset word sent as its OWN 4-byte write --
+    landing alone at a TCP recv boundary -- must still reset the stream.
+    Also: EOF flushes the final partial chunk (batch parity, no drop)."""
+    import socket
+    import time as _time
+    from mfcc_tpu.server import FeatureServer, stream_samples
+    from mfcc_tpu.io import transport
+    from mfcc_tpu.config import RESET_WORD
+
+    a = audio_int16[:1024]
+    b = audio_int16[:1500]
+    srv = FeatureServer(CFG, max_streams=2, chunk=1024).start()
+    try:
+        host, port = srv.address
+
+        # EOF flush: 1500 samples (not a chunk multiple) must produce every
+        # batch frame, exactly
+        want_b = int_ref.mfcc_int(b.astype(np.int64), CFG)      # 6 frames
+        got = stream_samples(host, port, b, CFG.nceptrums, timeout=90)
+        assert np.array_equal(got, want_b.astype(np.int16))
+
+        # reset word in its own sendall, with a delay so it is the sole
+        # content of a recv: features after it must be a fresh stream
+        want_a = int_ref.mfcc_int(a.astype(np.int64), CFG)      # 4 frames
+        with socket.create_connection((host, port), timeout=90) as sock:
+            sock.sendall(transport.encode_stream(a, reset_first=True)
+                         .astype("<u4").tobytes())
+            _time.sleep(0.2)
+            sock.sendall(np.array([RESET_WORD], "<u4").tobytes())
+            _time.sleep(0.2)
+            sock.sendall(transport.encode_stream(a).astype("<u4").tobytes())
+            sock.shutdown(socket.SHUT_WR)
+            sock.settimeout(90)
+            buf = b""
+            while True:
+                try:
+                    data = sock.recv(65536)
+                except socket.timeout:
+                    break
+                if not data:
+                    break
+                buf += data
+        cols, _ = transport.decode_frames(buf, CFG.nceptrums)
+        assert np.array_equal(cols[: len(want_a)], want_a.astype(np.int16))
+        # the second run is bit-exact a fresh stream ONLY if the lone reset
+        # word was honored
+        assert len(cols) == 2 * len(want_a)
+        assert np.array_equal(cols[len(want_a):], want_a.astype(np.int16))
     finally:
         srv.stop()
 
