@@ -114,8 +114,35 @@ def cmd_stream(args) -> int:
 
 def cmd_recv(args) -> int:
     """Decode a magic-framed feature byte stream (recv.py:12-42), with the
-    host voice-activity check (cepstrum.c:161-183) via --vad."""
+    host voice-activity check (cepstrum.c:161-183) via --vad.
+
+    ``--live`` scrolls the stream as an inferno spectrogram while it runs --
+    the recv.c SDL-viewer role (recv.c:20-76,101-155).  The input may be a
+    file being appended, '-' (stdin pipe), or 'host:port' (a FeatureServer
+    feature stream).  ``--window`` opens a matplotlib animation instead of
+    the terminal renderer."""
     from .io import transport
+    if args.live:
+        from .utils import viewer
+        read, close = viewer.open_source(args.infile)
+        frames = viewer.follow_frames(read, args.ncep,
+                                      idle_timeout=args.idle_timeout)
+        try:
+            if args.window:
+                sc = viewer.MatplotlibScroller(args.ncep)
+                sc.run(frames)
+            else:
+                sc = viewer.TerminalScroller(args.ncep, height=args.height)
+                try:
+                    for cols in frames:
+                        sc.push(cols)
+                except KeyboardInterrupt:
+                    pass
+                sc.close()
+                print(f"{sc.n_frames} frames", file=sys.stderr)
+        finally:
+            close()
+        return 0
     data = (sys.stdin.buffer.read() if args.infile == "-"
             else open(args.infile, "rb").read())
     cep, consumed = transport.decode_frames(data, args.ncep)
@@ -335,11 +362,19 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("recv", help="decode framed feature stream")
-    p.add_argument("infile")
+    p.add_argument("infile", help="file | '-' (stdin) | host:port (--live)")
     p.add_argument("outfile", nargs="?")
     p.add_argument("--ncep", type=int, default=16)
     p.add_argument("--vad", action="store_true",
                    help="report voice activity (cepstrum.c threshold)")
+    p.add_argument("--live", action="store_true",
+                   help="scrolling spectrogram while the stream runs (recv.c)")
+    p.add_argument("--window", action="store_true",
+                   help="with --live: matplotlib window instead of terminal")
+    p.add_argument("--height", type=int, default=24,
+                   help="terminal rows for --live (2 frames per row)")
+    p.add_argument("--idle-timeout", type=float, default=None,
+                   help="stop --live after N seconds without data")
     p.set_defaults(fn=cmd_recv)
 
     p = sub.add_parser("goldens", help="librosa-recipe .spec/.sklearn goldens")
