@@ -1,4 +1,4 @@
-.PHONY: test test-multichip bench native selftest clean
+.PHONY: test test-multichip ci bench native selftest clean
 
 native:
 	$(MAKE) -C native
@@ -15,6 +15,14 @@ test-multichip:
 	  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	  MFCC_REQUIRE_DEVICES=8 \
 	  python -m pytest tests/ -x -q
+
+# What CI runs (.github/workflows/ci.yml): native build + the 8-device CPU
+# mesh suite + the multi-chip dryrun contract + a bench harness smoke.
+ci: native test-multichip
+	env PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu \
+	  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+	python bench.py --quick
 
 bench:
 	python bench.py

@@ -112,6 +112,54 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_mic(args) -> int:
+    """Live microphone -> magic-framed features: the mic2mfcc target
+    (targets/mic2mfcc.py:19-74) with the capture device as the AudioReceiver
+    (io/audio.py).  Captures raw int16 PCM from a subprocess (arecord/
+    ffmpeg/sox/parec, or --command for anything else), streams it through
+    the pipeline chunk by chunk, and writes framed features until EOF,
+    --seconds, or Ctrl-C.  Pipe into ``recv --live -`` for a live view."""
+    from .io import transport, capture
+    from .streaming import StreamingMFCC
+    from .config import MFCCConfig
+
+    cfg = MFCCConfig(nceptrums=args.ncep)
+    sm = StreamingMFCC(cfg, int_path=not args.float)
+    state = sm.init(1)
+    out = sys.stdout.buffer if args.outfile == "-" else open(args.outfile, "wb")
+    C = args.chunk
+    total = 0
+    limit = int(args.seconds * cfg.samplerate) if args.seconds else None
+    cmd = args.command.split() if args.command else None
+    try:
+        with capture.Capture(cfg.samplerate, device=args.device,
+                             command=cmd) as cap:
+            while limit is None or total < limit:
+                want = C if limit is None else min(C, limit - total)
+                samples = cap.read(want)
+                if len(samples) == 0:
+                    break
+                total += len(samples)
+                chunk = np.zeros((1, C), np.int64)
+                chunk[0, : len(samples)] = samples
+                feats, mask, state = sm.step(
+                    chunk, state, lengths=np.array([len(samples)], np.int32))
+                valid = np.asarray(feats)[0][np.asarray(mask)[0]]
+                if args.float:
+                    valid = np.clip(np.round(valid), -32768, 32767)
+                out.write(transport.encode_frames(valid.astype(np.int16)))
+                if out is not sys.stdout.buffer:
+                    out.flush()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if out is not sys.stdout.buffer:
+            out.close()
+    print(f"captured {total} samples "
+          f"({total / cfg.samplerate:.2f} s)", file=sys.stderr)
+    return 0
+
+
 def cmd_recv(args) -> int:
     """Decode a magic-framed feature byte stream (recv.py:12-42), with the
     host voice-activity check (cepstrum.c:161-183) via --vad.
@@ -360,6 +408,20 @@ def main(argv=None) -> int:
     p.add_argument("--ncep", type=int, default=16)
     p.add_argument("--float", action="store_true")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("mic", help="live microphone -> framed features")
+    p.add_argument("outfile", nargs="?", default="-")
+    p.add_argument("--device", default=None,
+                   help="capture device name (tool-specific)")
+    p.add_argument("--command", default=None,
+                   help="explicit capture command writing raw mono int16 "
+                        "PCM to stdout (overrides tool detection)")
+    p.add_argument("--seconds", type=float, default=0.0,
+                   help="stop after N seconds (0 = until EOF/Ctrl-C)")
+    p.add_argument("--chunk", type=int, default=1024)
+    p.add_argument("--ncep", type=int, default=16)
+    p.add_argument("--float", action="store_true")
+    p.set_defaults(fn=cmd_mic)
 
     p = sub.add_parser("recv", help="decode framed feature stream")
     p.add_argument("infile", help="file | '-' (stdin) | host:port (--live)")

@@ -75,6 +75,12 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int = 128, fmin: float = 0.0,
     return weights
 
 
+def hann_window(n_fft: int) -> np.ndarray:
+    """The periodic hann window librosa's stft uses -- the single source for
+    both this numpy recipe and the JAX model (models.LibrosaMFCC)."""
+    return scipy.signal.get_window("hann", n_fft, fftbins=True)
+
+
 def stft_power(y: np.ndarray, n_fft: int = 2048, hop: int = 170,
                center: bool = True) -> np.ndarray:
     """|STFT|^2 with a periodic hann window, librosa framing:
@@ -82,7 +88,7 @@ def stft_power(y: np.ndarray, n_fft: int = 2048, hop: int = 170,
     y = np.asarray(y, dtype=np.float64)
     if center:
         y = np.pad(y, n_fft // 2, mode="reflect")
-    win = scipy.signal.get_window("hann", n_fft, fftbins=True)
+    win = hann_window(n_fft)
     n_frames = 1 + (len(y) - n_fft) // hop
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = y[idx] * win

@@ -111,10 +111,8 @@ class LibrosaMFCC:
         from ..compat import librosa_mfcc as lr
         import numpy as np
         self.sr, self.n_mfcc, self.hop, self.n_fft = sr, n_mfcc, hop, n_fft
-        win = np.asarray(
-            __import__("scipy.signal", fromlist=["get_window"]).get_window(
-                "hann", n_fft, fftbins=True))
-        self._win = win.astype(np.float32)
+        # constants come from the compat recipe (the single golden source)
+        self._win = lr.hann_window(n_fft).astype(np.float32)
         self._mel = lr.mel_filterbank(sr, n_fft, n_mels).T.astype(np.float32)
         self._dct = tables.dct2_ortho_matrix(n_mels)[:, :n_mfcc].astype(
             np.float32)

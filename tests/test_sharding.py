@@ -67,6 +67,42 @@ def test_sharded_int_path_exact(audio_int16):
     assert np.isfinite(float(energy))
 
 
+def test_sharded_streaming_int_exact(audio_int16):
+    """Chunked streaming under dp sharding, INT path: the results equal the
+    oracle exactly, including a length-limited tail flush."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mfcc_tpu.ref import int_ref
+    from mfcc_tpu import streaming
+    from mfcc_tpu.parallel.sharding import streaming_sharded_fn
+
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    S = max(4, 2 * n)
+    sig = audio_int16.astype(np.int64)          # 1192 samples
+    want = int_ref.mfcc_int(sig, CFG)           # 5 frames
+    step = streaming_sharded_fn(mesh, CFG, int_path=True)
+    state = streaming.init_state(S, CFG, jnp.int32)
+    state = jax.device_put(state, NamedSharding(mesh, P("dp")))
+    outs = [[] for _ in range(S)]
+    C = 700
+    for ci, (lo, hi) in enumerate([(0, 700), (700, 1192)]):
+        chunk = np.zeros((S, C), np.int32)
+        chunk[:, : hi - lo] = sig[lo:hi]
+        lengths = jnp.full((S,), hi - lo, jnp.int32)
+        reset = jax.device_put(jnp.zeros((S,), bool),
+                               NamedSharding(mesh, P("dp")))
+        feats, mask, state = step(
+            jax.device_put(jnp.asarray(chunk),
+                           NamedSharding(mesh, P("dp", None))),
+            state, reset, lengths)
+        feats, mask = np.asarray(feats), np.asarray(mask)
+        for s in range(S):
+            outs[s].append(feats[s][mask[s]])
+    for s in range(S):
+        assert np.array_equal(np.concatenate(outs[s]), want)
+
+
 def test_graft_entry_single():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
