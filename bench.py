@@ -58,11 +58,14 @@ def resolve_base(cfg, kind):
         return lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg)
     if kind == "pallas-split":
         return lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg, split=True)
+    if kind == "pallas-recomp":
+        return lambda a: pallas_mfcc.mfcc_pallas_recomp(a, cfg, split=False)
+    if kind == "pallas-recomp-bf16":
+        return lambda a: pallas_mfcc.mfcc_pallas_recomp(a, cfg, split=True)
     if kind == "int":
-        import jax
-        if jax.default_backend() == "tpu":
-            from mfcc_tpu.ops import pallas_int
-            return lambda a: pallas_int.mfcc_int_pallas(a, cfg)
+        from mfcc_tpu.ops import pallas_int
+        if pallas_int.pallas_int_supported(cfg):
+            return lambda a: pallas_int.mfcc_int_pallas_v2(a, cfg)
         from mfcc_tpu.ops import int_ops
         return lambda a: int_ops.mfcc_int_batch(a, cfg)
     if kind.endswith("-split"):
@@ -122,13 +125,28 @@ def time_fused(cfg, kind, x, nframes, reps=4, iters=4):
 
 
 def accuracy_of(cfg, kind):
+    """Gate error = max over (a) the synthetic signal and (b) ~2 s of the
+    reference's real speech wav when mounted.  Real speech has quiet mel
+    bins that log2 amplifies -- a short loud synthetic alone under-gates
+    (the round-1 4-pass-bf16 winner measured 3.5e-4 synthetic but 2.3e-3 on
+    the wav; see docs/BENCH.md round-2 notes)."""
+    import os
     import jax.numpy as jnp
     from mfcc_tpu.ref import float_ref
+    fn = build_fn(cfg, kind)
     sig = make_audio(2, 512 + 4 * 170, seed=7)
     want = np.stack([float_ref.mfcc_float(sig[i], cfg) for i in range(2)])
-    fn = build_fn(cfg, kind)
     got = np.asarray(fn(jnp.asarray(sig), jnp.float32(0.0)))
-    return float(np.abs(want - got).max())
+    err = float(np.abs(want - got).max())
+    wav = "/root/reference/f2bjrop1.0.wav"
+    if os.path.exists(wav):
+        from scipy.io import wavfile
+        _, audio = wavfile.read(wav)
+        real = audio[: 512 + 186 * 170].astype(np.float32)[None]
+        want_r = float_ref.mfcc_float(real[0], cfg)
+        got_r = np.asarray(fn(jnp.asarray(real), jnp.float32(0.0)))[0]
+        err = max(err, float(np.abs(want_r - got_r).max()))
+    return err
 
 
 def int_exactness(cfg):
@@ -190,7 +208,10 @@ def main():
         T = cfg.nfft + int(round((secs * cfg.samplerate - cfg.nfft)
                                  / cfg.hop)) * cfg.hop
         iters = args.iters or 12
-        candidates = ["pallas-split", "pallas", "dft"]
+        # pallas-recomp-bf16 and pallas-split are expected to REJECT on the
+        # real-wav gate (4-pass bf16 ~2.3e-3 there); kept as candidates so
+        # the rejection is visible in the bench log
+        candidates = ["pallas-recomp", "pallas-recomp-bf16", "dft"]
 
     F = cfg.n_frames(T)
     x = jax.device_put(jnp.asarray(make_audio(S, T)))

@@ -115,9 +115,17 @@ def _wrap16(v):
     return ((v & 0xFFFF) ^ 0x8000) - 0x8000
 
 
-def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16):
+def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16,
+            zero_imag_stages: int = 0):
     """Bit-exact natural-order DIT ladder on (size, lanes) int32 arrays.
-    twr_ref/twi_ref: (size, nstages) constant refs."""
+    twr_ref/twi_ref: (size, nstages) constant refs.
+
+    ``zero_imag_stages``: number of leading stages for which the CALLER
+    guarantees the imaginary input is identically zero AND the stage's
+    twiddle imag column is all-zero (checked by the caller against the numpy
+    constants) -- those stages skip every imaginary-side op, and a real-only
+    value is threaded (the real-input FFT's first stages, where wi stays 0
+    exactly: sub2 = (0 + bias - 0) >> (width-2) = 0 and x0i = 0)."""
     L = int(np.log2(size))
     bias = (1 << (width - 3)) - 1
     rows = jax.lax.broadcasted_iota(jnp.int32, (size, wr.shape[1]), 0)
@@ -126,6 +134,33 @@ def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16):
         twr = twr_ref[:, s: s + 1]
         twi = twi_ref[:, s: s + 1]
         is_x0 = (rows & d) == 0
+        sgn = jnp.where(is_x0, 1, -1)
+        if s < zero_imag_stages:
+            # wi == 0 and tw imag == 0: m1 = 0, m0 - m2 = x1r*twi = 0 ->
+            # sub2 = bias >> (width-2) = 0, yi = (0 +- 0) >> 1 = 0
+            pr = pltpu.roll(wr, size - d, 0)
+            mr = pltpu.roll(wr, d, 0)
+            x1r = jnp.where(is_x0, pr, wr)
+            x0r = jnp.where(is_x0, wr, mr)
+            sub1 = (x1r * twr + bias) >> (width - 2)
+            wr = _wrap16((x0r + sgn * sub1) >> 1)
+            continue
+        if s == zero_imag_stages and zero_imag_stages > 0:
+            # wi still == 0, but tw imag may be nonzero: the imaginary side
+            # reduces to sub2 = (x1r*twr + bias - x1r*(twr-twi)) >> (w-2)
+            # and yi = (0 +- sub2) >> 1
+            pr = pltpu.roll(wr, size - d, 0)
+            mr = pltpu.roll(wr, d, 0)
+            x1r = jnp.where(is_x0, pr, wr)
+            x0r = jnp.where(is_x0, wr, mr)
+            m0 = x1r * twr
+            m2 = x1r * (twr - twi)
+            sub1 = (m0 + bias) >> (width - 2)
+            sub2 = (m0 + bias - m2) >> (width - 2)
+            wr_new = _wrap16((x0r + sgn * sub1) >> 1)
+            wi = _wrap16((sgn * sub2) >> 1)
+            wr = wr_new
+            continue
         # partner values (pltpu.roll requires non-negative shifts)
         pr = pltpu.roll(wr, size - d, 0)   # row r -> value of row r+d
         pi = pltpu.roll(wi, size - d, 0)
@@ -142,25 +177,31 @@ def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16):
         sub1 = (m0 + bias - m1) >> (width - 2)
         sub2 = (m0 + bias - m2) >> (width - 2)
         # x0 rows take y0 = (x0 + sub) >> 1 ; x1 rows take y1 = (x0 - sub) >> 1
-        sgn = jnp.where(is_x0, 1, -1)
         wr = _wrap16((x0r + sgn * sub1) >> 1)
         wi = _wrap16((x0i + sgn * sub2) >> 1)
     return wr, wi
+
+
+def _zero_imag_stage_count(size: int, width: int = 16) -> int:
+    """How many leading ladder stages have an all-zero twiddle imag column
+    (-> a real input stays real through them).  1 for the standard table
+    (stage 0 uses T[0] = (c, 0) everywhere)."""
+    _, ci = _ladder_constants(size, width)
+    n = 0
+    while n < ci.shape[1] and not ci[:, n].any():
+        n += 1
+    return n
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _int_kernel(win_ref, twr_ref, twi_ref, fb_ref, dtwr_ref, dtwi_ref,
-                out_ref, dbuf_r, *, cfg: MFCCConfig, fb_shift: int):
-    nfft = cfg.nfft
+def _post_fft_stages(wr, wi, fb_ref, dtwr_ref, dtwi_ref, out_ref, dbuf_r,
+                     *, cfg: MFCCConfig, fb_shift: int, lanes: int):
+    """Stages 2-5 (power, filterbank, log2, DCT) shared by the kernel
+    variants; wr/wi: (nfft, lanes) ladder outputs."""
     ntap = cfg.nfilters
-    lanes = BF
-
-    # 1. bit-exact 512-pt FFT ladder (real input, imag = 0)
-    wr, wi = _ladder(win_ref[0], jnp.zeros_like(win_ref[0]),
-                     twr_ref, twi_ref, nfft)
 
     # 2. power spectrum: (r*r + i*i) as a 32-bit field, logical >> 2
     s = wr * wr + wi * wi
@@ -222,9 +263,200 @@ def _int_kernel(win_ref, twr_ref, twi_ref, fb_ref, dtwr_ref, dtwi_ref,
         dbuf_r[fill_a[k], :] = logmel[k, :]
         dbuf_r[fill_b[k], :] = logmel[k, :]
     cr, ci = _ladder(dbuf_r[:], jnp.zeros((4 * ntap, lanes), jnp.int32),
-                     dtwr_ref, dtwi_ref, 4 * ntap)
+                     dtwr_ref, dtwi_ref, 4 * ntap,
+                     zero_imag_stages=_zero_imag_stage_count(4 * ntap))
     for k in range(cfg.nceptrums):
         out_ref[0, k, :] = cr[out_rows[k], :]
+
+
+def _int_kernel(win_ref, twr_ref, twi_ref, fb_ref, dtwr_ref, dtwi_ref,
+                out_ref, dbuf_r, *, cfg: MFCCConfig, fb_shift: int):
+    # 1. bit-exact 512-pt FFT ladder (real input, imag = 0; the leading
+    # zero-twiddle-imag stages skip the imaginary datapath entirely)
+    wr, wi = _ladder(win_ref[0], jnp.zeros_like(win_ref[0]),
+                     twr_ref, twi_ref, cfg.nfft,
+                     zero_imag_stages=_zero_imag_stage_count(cfg.nfft))
+    _post_fft_stages(wr, wi, fb_ref, dtwr_ref, dtwi_ref, out_ref, dbuf_r,
+                     cfg=cfg, fb_shift=fb_shift, lanes=BF)
+
+
+def _int_kernel_v2(xa_ref, xb_ref, wincol_ref, twr_ref, twi_ref, fb_ref,
+                   dtwr_ref, dtwi_ref, out_ref, fbuf, dbuf_r, *,
+                   cfg: MFCCConfig, fb_shift: int, bf: int, nseg: int):
+    """Framing + windowing fused in (positions-major): the block reads two
+    adjacent (hop, bf) lane-tiles of the TRANSPOSED emphasized signal and
+    rebuilds the (nfft, bf) frame matrix with ``nseg`` lane-shifted
+    sub-matrix copies -- frame lane i, position q*hop+t is row t, lane i+q
+    of the tile pair.  The reference's ring-buffer overlap re-reads
+    (mfcc/core/frame.py:86-114) become lane offsets; the window LUT product
+    (window.py:22-43 datapath, already folded into wincol) is one broadcast
+    multiply per position row."""
+    nfft, hop = cfg.nfft, cfg.hop
+    C = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=1)   # (hop, 2*bf)
+    for q in range(nseg):
+        p0 = q * hop
+        w = min(hop, nfft - p0)
+        fbuf[p0: p0 + w, :] = C[:w, q: q + bf]
+    x = fbuf[:]                                           # (nfft, bf) int32
+    # window_int, positions-major: (x * curve[p]) >> (precision+1), wrap16
+    xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
+                             cfg.width)
+    wr, wi = _ladder(xw, jnp.zeros_like(xw), twr_ref, twi_ref, nfft,
+                     zero_imag_stages=_zero_imag_stage_count(nfft))
+    _post_fft_stages(wr, wi, fb_ref, dtwr_ref, dtwi_ref, out_ref, dbuf_r,
+                     cfg=cfg, fb_shift=fb_shift, lanes=bf)
+
+
+def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                       *, bf: int = BF) -> jnp.ndarray:
+    """Fused bit-exact INT pipeline, v2: framing, windowing and the
+    positions-major transpose happen IN the kernel.  The XLA prologue is one
+    fused pre-emphasis pass plus one (T -> positions, rows) transpose of the
+    1x signal -- no 3x overlapped-frame gather, no windowing pass, no
+    frame-matrix transpose.  (S, T) int32 -> (S, F, nceptrums) int32."""
+    assert cfg.nfft == 512 and cfg.nfilters in (16, 32), \
+        "kernel assumes the reference config family"
+    assert cfg.width == 16 and cfg.window_precision == 8 \
+        and cfg.power_width == 30, \
+        "kernel hardcodes the 16-bit datapath; use int_ops for other widths"
+    assert bf % 128 == 0
+    lead = audio.shape[:-1]
+    if audio.ndim == 1:
+        audio = audio[None]
+    elif audio.ndim > 2:
+        audio = audio.reshape(-1, audio.shape[-1])
+    nfft, hop = cfg.nfft, cfg.hop
+    nseg = -(-nfft // hop)
+    S, T = audio.shape
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nblocks = -(-F // bf)
+    Fp = nblocks * bf
+    N = S * nblocks
+
+    emph = framing.preemphasis_int(audio.astype(jnp.int32))   # one fused pass
+    # hop-rows, transposed; pad the lane (row-index) axis so block n can
+    # always read lane-tiles n and n+1
+    Lp = (nblocks + 1) * bf
+    need = Lp * hop
+    if need > T:
+        emph = jnp.pad(emph, ((0, 0), (0, need - T)))
+    rows = emph[:, : Lp * hop].reshape(S, Lp, hop)
+    TT = rows.swapaxes(-1, -2)                                # (S, hop, Lp)
+
+    twr, twi = _ladder_constants(nfft)
+    fb_limbs, fb_shift = _fb_limb_matrix(cfg)
+    dtwr, dtwi = _ladder_constants(4 * cfg.nfilters)
+    wincol = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
+                        np.int32).reshape(nfft, 1)
+    n4 = 4 * cfg.nfilters
+
+    out = pl.pallas_call(
+        functools.partial(_int_kernel_v2, cfg=cfg, fb_shift=fb_shift,
+                          bf=bf, nseg=nseg),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, hop, bf),
+                         lambda n: (n // nblocks, 0, n % nblocks),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hop, bf),
+                         lambda n: (n // nblocks, 0, n % nblocks + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, 1), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, twr.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, twi.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n4, dtwr.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n4, dtwi.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cfg.nceptrums, bf), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, cfg.nceptrums, bf), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((nfft, bf), jnp.int32),
+            pltpu.VMEM((n4, bf), jnp.int32),
+        ],
+    )(TT, TT, jnp.asarray(wincol), jnp.asarray(twr), jnp.asarray(twi),
+      jnp.asarray(fb_limbs), jnp.asarray(dtwr), jnp.asarray(dtwi))
+
+    out = out.swapaxes(-1, -2).reshape(S, Fp, cfg.nceptrums)[:, :F]
+    return out.reshape(lead + (F, cfg.nceptrums))
+
+
+def pallas_int_supported(cfg: MFCCConfig) -> bool:
+    """The fused kernels hardcode the reference 16-bit config family."""
+    import jax as _jax
+    return (_jax.default_backend() == "tpu" and cfg.nfft == 512
+            and cfg.nfilters in (16, 32) and cfg.width == 16
+            and cfg.window_precision == 8 and cfg.power_width == 30
+            and int_ops._fb_int32_layout_ok(cfg))
+
+
+def mfcc_int_pallas_frames(frames: jnp.ndarray,
+                           cfg: MFCCConfig = MFCCConfig()) -> jnp.ndarray:
+    """Fused bit-exact INT pipeline on pre-emphasized FRAMES:
+    (..., F, nfft) int32 -> (..., F, nceptrums) int32.
+
+    The streaming/serving entry point (the chunked step produces emphasized
+    frames): all leading axes flatten into the kernel's frame-lane axis, so
+    a batch of many streams' few-frame chunks fills 128-lane blocks
+    together instead of running the HBM-round-tripping XLA stage chain
+    (ROADMAP item 5)."""
+    assert cfg.nfft == 512 and cfg.nfilters in (16, 32)
+    assert cfg.width == 16 and cfg.window_precision == 8 \
+        and cfg.power_width == 30
+    lead = frames.shape[:-2]
+    F_in = frames.shape[-2]
+    nfft = cfg.nfft
+    win = int_ops.window_int(frames.reshape(-1, nfft).astype(jnp.int32),
+                             nfft, cfg.window_precision, cfg.width)
+    M = win.shape[0]
+    nblocks = max(1, -(-M // BF))
+    Mp = nblocks * BF
+    if Mp > M:
+        win = jnp.pad(win, ((0, Mp - M), (0, 0)))
+    winT = win.reshape(nblocks, BF, nfft).swapaxes(-1, -2)  # (nb, nfft, BF)
+
+    twr, twi = _ladder_constants(nfft)
+    fb_limbs, fb_shift = _fb_limb_matrix(cfg)
+    dtwr, dtwi = _ladder_constants(4 * cfg.nfilters)
+    n4 = 4 * cfg.nfilters
+
+    out = pl.pallas_call(
+        functools.partial(_int_kernel, cfg=cfg, fb_shift=fb_shift),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, nfft, BF), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, twr.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, twi.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n4, dtwr.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n4, dtwi.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cfg.nceptrums, BF), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, cfg.nceptrums, BF),
+                                       jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n4, BF), jnp.int32),
+        ],
+    )(winT, jnp.asarray(twr), jnp.asarray(twi), jnp.asarray(fb_limbs),
+      jnp.asarray(dtwr), jnp.asarray(dtwi))
+
+    out = out.swapaxes(-1, -2).reshape(Mp, cfg.nceptrums)[:M]
+    return out.reshape(lead + (F_in, cfg.nceptrums))
 
 
 def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()

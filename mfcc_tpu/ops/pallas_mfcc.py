@@ -440,6 +440,142 @@ def mfcc_pallas_aligned(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
 
 
 # ---------------------------------------------------------------------------
+# Recomposition kernel: hop-row input, 4 sub-matrix copies, K=512 matmul
+# ---------------------------------------------------------------------------
+#
+# The direct kernel's cost is split ~half/half between the BF=128 per-frame
+# VMEM row copies and the matmul passes (docs/BENCH.md decomposition).  The
+# segment kernel removes the copies but pays ~2x matmul flops (hop 170 padded
+# to 256 lanes, 4 shifted operators).  This kernel takes the best of both:
+#
+#   host:   raw audio reshaped to hop-sized rows (a single layout pass; no
+#           pre-emphasis, no overlap materialization)
+#   kernel: pre-emphasis as two shifted vector ops on the row matrix (the
+#           cross-row sample comes from a sublane shift + one SMEM scalar),
+#           then frames rebuilt with FOUR (BF, hop) sub-matrix copies --
+#           frames[:, q*hop:(q+1)*hop] = E[q:q+BF] -- instead of BF row
+#           copies, then the same minimal-flop (BF,512)@(512,512) passes.
+#
+# Replaces the same reference stages as the direct kernel; the recomposition
+# is the TPU-native form of the ring buffer's overlap re-reads
+# (mfcc/core/frame.py:86-114): re-reading == re-slicing rows shifted by one.
+
+def _mfcc_recomp_kernel(x_ref, xtail_ref, prev_ref, cs_ref, mel_ref, dct_ref,
+                        out_ref, frames_ref, *, nfft, hop, nbins, ncep,
+                        split, bf, nseg):
+    X = jnp.concatenate([x_ref[0], xtail_ref[0]], axis=0)   # (bf+nseg-1, hop)
+    # in-kernel pre-emphasis: row r's sample 0 subtracts row r-1's last
+    # sample (the block's very first subtracts the SMEM prev scalar)
+    c = jnp.float32(framing.EMPHASIS_COEFF)
+    rows = bf + nseg - 1
+    lastcol = X[:, hop - 1: hop]                             # (rows, 1)
+    rolled = pltpu.roll(lastcol, 1, 0)                       # row r <- r-1
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    prevlast = jnp.where(rowidx == 0, prev_ref[0, 0, 0], rolled)
+    E = jnp.concatenate(
+        [X[:, :1] - c * prevlast, X[:, 1:] - c * X[:, :-1]], axis=1)
+
+    for q in range(nseg):
+        c0 = q * hop
+        w = min(hop, nfft - c0)
+        frames_ref[:, c0: c0 + w] = E[q: q + bf, :w]
+
+    frames = frames_ref[:]
+    if split:
+        b16 = jnp.bfloat16
+        x_hi = frames.astype(b16)
+        x_lo = (frames - x_hi.astype(jnp.float32)).astype(b16)
+        reim = jnp.dot(x_hi, cs_ref[0], preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_hi, cs_ref[1],
+                              preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_lo, cs_ref[0],
+                              preferred_element_type=jnp.float32)
+        reim = reim + jnp.dot(x_lo, cs_ref[1],
+                              preferred_element_type=jnp.float32)
+    else:
+        reim = jnp.dot(frames, cs_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    re = reim[:, :nbins]
+    im = reim[:, nbins:]
+    power = re * re + im * im
+    melspec = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    logmel = jnp.log2(melspec)
+    out_ref[0] = jnp.dot(logmel, dct_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def mfcc_pallas_recomp(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                       *, split: bool = True, bf: int = BF) -> jnp.ndarray:
+    """Fused recomposition kernel on RAW audio: (S, T) -> (S, F, nceptrums).
+
+    Host side is a single pad+reshape to (rows, hop); pre-emphasis, framing
+    and all pipeline stages run in the kernel."""
+    audio = audio.astype(jnp.float32)
+    S, T = audio.shape
+    nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
+    nbins = nfft // 2
+    nseg = -(-nfft // hop)
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nblocks = -(-F // bf)
+    Fp = nblocks * bf
+    N = S * nblocks
+    L = nblocks * bf + nseg - 1                 # hop-rows incl. overlap tail
+
+    need = L * hop
+    if need > T:
+        audio = jnp.pad(audio, ((0, 0), (0, need - T)))
+    Xrows = audio[:, : L * hop].reshape(S, L, hop)
+    Xmain = Xrows[:, : nblocks * bf].reshape(N, bf, hop)
+    tail_idx = np.arange(nblocks)[:, None] * bf + bf \
+        + np.arange(nseg - 1)[None, :]
+    Xtail = Xrows[:, tail_idx].reshape(N, nseg - 1, hop)
+    # raw sample immediately before each block (0 for a stream's first block)
+    prev_idx = jnp.maximum(jnp.arange(nblocks) * bf * hop - 1, 0)
+    prevs = (audio[:, prev_idx] * (jnp.arange(nblocks) > 0)).reshape(N, 1, 1)
+
+    CS, mel, dct = _kernel_operators(cfg)
+    if split:
+        cs_hi = CS.astype(jnp.bfloat16)
+        cs_lo = (CS - np.asarray(cs_hi, np.float32)).astype(jnp.bfloat16)
+        cs_arg = jnp.stack([jnp.asarray(cs_hi), jnp.asarray(cs_lo)])
+        cs_spec = pl.BlockSpec((2, nfft, 2 * nbins), lambda n: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        cs_arg = jnp.asarray(CS)
+        cs_spec = pl.BlockSpec((nfft, 2 * nbins), lambda n: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mfcc_recomp_kernel, nfft=nfft, hop=hop,
+                          nbins=nbins, ncep=ncep, split=split, bf=bf,
+                          nseg=nseg),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, bf, hop), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nseg - 1, hop), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            cs_spec,
+            pl.BlockSpec((nbins, cfg.nfilters), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.nfilters, ncep), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bf, ncep), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, bf, ncep), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bf, nfft), jnp.float32),
+        ],
+    )(Xmain, Xtail, prevs, cs_arg, jnp.asarray(mel), jnp.asarray(dct))
+    return out.reshape(S, Fp, ncep)[:, :F]
+
+
+# ---------------------------------------------------------------------------
 # Segment-layout kernel: zero per-frame copies
 # ---------------------------------------------------------------------------
 #

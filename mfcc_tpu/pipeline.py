@@ -51,25 +51,23 @@ class MFCC:
         # the INT path is x64-free for the reference config family; exotic
         # filterbank layouts fall back to the int64 (x64) filterbank
         self._int_needs_x64 = not int_ops._fb_int32_layout_ok(cfg)
-        # on TPU the fused Mosaic kernel (2x faster, bit-identical) is the
-        # default for the reference config family.  The kernel hardcodes the
+        # on TPU the fused Mosaic kernels (2x faster, bit-identical) are the
+        # default for the reference config family.  The kernels hardcode the
         # 16-bit datapath (_wrap16, the 2*16-power_width shift, the 16-pass
         # log normalize), so any width change must fall back to int_ops,
         # which honors cfg.width (round-1 ADVICE, low).
-        use_pallas_int = (jax.default_backend() == "tpu"
-                          and cfg.nfft == 512 and cfg.nfilters in (16, 32)
-                          and cfg.width == 16 and cfg.window_precision == 8
-                          and cfg.power_width == 30
-                          and not self._int_needs_x64)
-        if use_pallas_int:
-            from .ops import pallas_int
-            int_batch = functools.partial(pallas_int.mfcc_int_pallas, cfg=cfg)
+        from .ops import pallas_int
+        if pallas_int.pallas_int_supported(cfg):
+            int_batch = functools.partial(pallas_int.mfcc_int_pallas_v2,
+                                          cfg=cfg)
+            int_frames = functools.partial(pallas_int.mfcc_int_pallas_frames,
+                                           cfg=cfg)
         else:
             int_batch = functools.partial(int_ops.mfcc_int_batch, cfg=cfg)
+            int_frames = functools.partial(int_ops.mfcc_int_frames, cfg=cfg)
         with self._x64_ctx():
             self._int_jit = jax.jit(int_batch)
-            self._int_frames_jit = jax.jit(functools.partial(
-                int_ops.mfcc_int_frames, cfg=cfg))
+            self._int_frames_jit = jax.jit(int_frames)
 
     def _x64_ctx(self):
         import contextlib

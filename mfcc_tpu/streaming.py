@@ -128,7 +128,15 @@ class StreamingMFCC:
 
         if int_path:
             emphasize = framing.preemphasis_int
-            features = functools.partial(int_ops.mfcc_int_frames, cfg=cfg)
+            from .ops import pallas_int
+            if pallas_int.pallas_int_supported(cfg):
+                # fused Mosaic kernel on the chunk's emphasized frames: all
+                # streams' frames share 128-lane blocks, replacing the
+                # HBM-round-tripping XLA stage chain (ROADMAP item 5)
+                features = functools.partial(pallas_int.mfcc_int_pallas_frames,
+                                             cfg=cfg)
+            else:
+                features = functools.partial(int_ops.mfcc_int_frames, cfg=cfg)
         else:
             emphasize = framing.preemphasis
             features = functools.partial(

@@ -55,3 +55,36 @@ def test_natural_order_ladder_constants():
             g = r >> (L - s) if s else 0
             idx = (_bitrev(g, s) << (L - 1 - s)) if s else 0
             assert cr[r, s] == twr[idx] and ci[r, s] == twi[idx]
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_int_v2_exact(audio_int16):
+    """v2 (framing + windowing fused in, positions-major lane shifts) is
+    element-exact vs the RTL oracle, including multi-block and ragged-tail
+    frame counts."""
+    from mfcc_tpu.ops import pallas_int
+    rng = np.random.default_rng(23)
+    for T in (512 + 4 * 170, 512 + 140 * 170):   # 1 block / 2 blocks
+        sig = rng.integers(-32768, 32768, (2, T))
+        want = np.stack([int_ref.mfcc_int(sig[i], CFG) for i in range(2)])
+        got = np.asarray(jax.jit(
+            lambda a: pallas_int.mfcc_int_pallas_v2(a, CFG))(
+                jnp.asarray(sig, jnp.int32)))
+        assert np.array_equal(want, got), T
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_int_frames_exact(audio_int16):
+    """The frames-input kernel (the streaming/serving entry) equals the XLA
+    frames path exactly -- leading axes share lane blocks."""
+    from mfcc_tpu.ops import pallas_int, int_ops, framing
+    sig = audio_int16.astype(np.int64)
+    emph = framing.preemphasis_int(jnp.asarray(sig[None], jnp.int32))
+    frames = framing.extract_frames(emph, CFG.nfft, CFG.hop)   # (1, 5, 512)
+    frames = jnp.concatenate([frames, frames * 0 + 7, frames[:, ::-1]], 0)
+    want = np.asarray(int_ops.mfcc_int_frames(frames, CFG))
+    got = np.asarray(jax.jit(
+        lambda f: pallas_int.mfcc_int_pallas_frames(f, CFG))(frames))
+    assert np.array_equal(want, got)
