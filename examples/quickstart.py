@@ -48,6 +48,8 @@ def main():
     feats, mask, state = sm.step(audio[None, :1024], state)
     print(f"streaming step: {int(np.asarray(mask).sum())} frames emitted, "
           f"carry count = {int(np.asarray(state.count)[0])} samples")
+    feats, dmask, state = sm.drain(state)     # flush the partial final frame
+    print(f"drain: {int(np.asarray(dmask).sum())} residual frames flushed")
 
     # 4. liftered coefficients (software/lift.py role) ------------------------
     print(f"liftered c1 of frame 0: {float(lifter(cep)[0, 1]):.2f}")

@@ -24,10 +24,13 @@ class MFCCConfig:
 
     # Audio / frame geometry -------------------------------------------------
     width: int = 16             # sample bit width (signed)
-    nfft: int = 512             # FFT size == window length
+    nfft: int = 512             # FFT size
     samplerate: int = 16000
     nfilters: int = 32          # mel filterbank taps
     nceptrums: int = 32         # cepstra kept (Discard count, mfcc.py:87)
+    window_samples: Optional[int] = None  # real samples per frame; < nfft
+    #   zero-pads positions >= window_samples (Frame's windowlen < nfft mode,
+    #   mfcc/core/frame.py:77,120); None = nfft (every reference target)
 
     # Fixed-point parameters (INT path) --------------------------------------
     window_precision: int = 8   # quarter-LUT bit precision (mfcc.py:49)
@@ -43,8 +46,9 @@ class MFCCConfig:
     @property
     def windowlen(self) -> int:
         """Ring-buffer window length; the core uses windowlen == nfft
-        (mfcc/core/mfcc.py:42)."""
-        return self.nfft
+        (mfcc/core/mfcc.py:42), with zero-padding of positions beyond it
+        when window_samples < nfft (frame.py:77,120)."""
+        return self.window_samples or self.nfft
 
     @property
     def nbins(self) -> int:
@@ -74,10 +78,12 @@ class MFCCConfig:
 
     def n_frames(self, n_samples: int) -> int:
         """Frames produced for a signal of ``n_samples`` samples
-        (notebook MFCC-INT.ipynb cell 3: ``(len - FFT)//hop + 1``)."""
-        if n_samples < self.nfft:
+        (notebook MFCC-INT.ipynb cell 3: ``(len - FFT)//hop + 1``; with
+        windowlen < nfft a frame completes after windowlen samples,
+        frame.py:86-91)."""
+        if n_samples < self.windowlen:
             return 0
-        return (n_samples - self.nfft) // self.hop + 1
+        return (n_samples - self.windowlen) // self.hop + 1
 
 
 # Host transport protocol constants (see mfcc_tpu/io/transport.py) -----------

@@ -37,7 +37,8 @@ class _FloatModel:
 
     def _frames(self, audio):
         emph = framing.preemphasis(audio.astype(self.dtype))
-        return framing.extract_frames(emph, self.cfg.nfft, self.cfg.hop)
+        return framing.extract_frames(emph, self.cfg.nfft, self.cfg.hop,
+                                      windowlen=self.cfg.windowlen)
 
     def __call__(self, audio):
         return self._jit(jnp.asarray(audio))

@@ -195,9 +195,14 @@ def mfcc_batch(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
     x = audio.astype(dtype)
     emph = framing.preemphasis(x)
     if method == "segmented":
-        return mfcc_segmented(emph, cfg, precision=precision, dtype=dtype,
-                              mel_floor=mel_floor)
-    frames = framing.extract_frames(emph, cfg.nfft, cfg.hop)
+        if cfg.windowlen != cfg.nfft:
+            # the segment layout assumes full-nfft frames; fall back
+            method = "dft"
+        else:
+            return mfcc_segmented(emph, cfg, precision=precision,
+                                  dtype=dtype, mel_floor=mel_floor)
+    frames = framing.extract_frames(emph, cfg.nfft, cfg.hop,
+                                    windowlen=cfg.windowlen)
     return mfcc_frames(frames, cfg, method=method, precision=precision,
                        dtype=dtype, mel_floor=mel_floor)
 

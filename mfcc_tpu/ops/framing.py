@@ -49,21 +49,31 @@ def wrap_signed(v: jnp.ndarray, bits: int) -> jnp.ndarray:
     return ((v & mask) ^ sign) - sign
 
 
-def frame_indices(n_samples: int, nfft: int, hop: int) -> np.ndarray:
-    """(nframes, nfft) static gather index matrix."""
-    n = (n_samples - nfft) // hop + 1
+def frame_indices(n_samples: int, nfft: int, hop: int,
+                  windowlen: int | None = None) -> np.ndarray:
+    """(nframes, windowlen) static gather index matrix.  ``windowlen`` is the
+    number of REAL samples per frame (a frame completes after windowlen
+    samples, mfcc/core/frame.py:86-91); defaults to nfft."""
+    wl = windowlen or nfft
+    n = (n_samples - wl) // hop + 1
     if n <= 0:
         raise ValueError(
-            f"signal of {n_samples} samples is shorter than one frame ({nfft})")
+            f"signal of {n_samples} samples is shorter than one frame ({wl})")
     starts = np.arange(n, dtype=np.int32) * hop
-    return starts[:, None] + np.arange(nfft, dtype=np.int32)[None, :]
+    return starts[:, None] + np.arange(wl, dtype=np.int32)[None, :]
 
 
-def extract_frames(x: jnp.ndarray, nfft: int, hop: int) -> jnp.ndarray:
+def extract_frames(x: jnp.ndarray, nfft: int, hop: int,
+                   windowlen: int | None = None) -> jnp.ndarray:
     """Gather overlapped frames: (..., T) -> (..., F, nfft).
 
     Static shapes: F is derived from T at trace time, so XLA sees a constant
     gather (replaces mfcc/core/frame.py's ring buffer + read-pointer jumps).
-    """
-    idx = jnp.asarray(frame_indices(x.shape[-1], nfft, hop))
-    return x[..., idx]
+    With windowlen < nfft, positions >= windowlen are zero-padded (the
+    Frame stage's padding mode, frame.py:77,120)."""
+    wl = windowlen or nfft
+    idx = jnp.asarray(frame_indices(x.shape[-1], nfft, hop, wl))
+    fr = x[..., idx]
+    if wl < nfft:
+        fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, nfft - wl)])
+    return fr

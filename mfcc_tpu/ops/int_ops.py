@@ -306,5 +306,6 @@ def mfcc_int_batch(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
     (..., T) int32 -> (..., F, nceptrums) int32."""
     from .framing import extract_frames
     emph = preemphasis_int(audio.astype(jnp.int32))
-    frames = extract_frames(emph, cfg.nfft, cfg.hop)
+    frames = extract_frames(emph, cfg.nfft, cfg.hop,
+                            windowlen=cfg.windowlen)
     return mfcc_int_frames(frames, cfg)

@@ -128,6 +128,8 @@ def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16,
     exactly: sub2 = (0 + bias - 0) >> (width-2) = 0 and x0i = 0)."""
     L = int(np.log2(size))
     bias = (1 << (width - 3)) - 1
+    unit = 1 << (width - 2)                # the table's exact-one twiddle
+    np_cr, np_ci = _ladder_constants(size, width)   # trace-time constants
     rows = jax.lax.broadcasted_iota(jnp.int32, (size, wr.shape[1]), 0)
     for s in range(L):
         d = 1 << (L - 1 - s)
@@ -135,6 +137,14 @@ def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16,
         twi = twi_ref[:, s: s + 1]
         is_x0 = (rows & d) == 0
         sgn = jnp.where(is_x0, 1, -1)
+        # trace-time twiddle-pattern facts for multiplier-free shortcuts:
+        # (x*unit + bias) >> (width-2) == x exactly (bias < unit, x<<14 has
+        # zero low bits), so unit twiddles need no multiply at all
+        all_unit_re = bool((np_cr[:, s] == unit).all()
+                           and (np_ci[:, s] == 0).all())
+        unit_pair = bool(np.logical_or(
+            (np_cr[:, s] == unit) & (np_ci[:, s] == 0),
+            (np_cr[:, s] == 0) & (np_ci[:, s] == -unit)).all())
         if s < zero_imag_stages:
             # wi == 0 and tw imag == 0: m1 = 0, m0 - m2 = x1r*twi = 0 ->
             # sub2 = bias >> (width-2) = 0, yi = (0 +- 0) >> 1 = 0
@@ -142,7 +152,10 @@ def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16,
             mr = pltpu.roll(wr, d, 0)
             x1r = jnp.where(is_x0, pr, wr)
             x0r = jnp.where(is_x0, wr, mr)
-            sub1 = (x1r * twr + bias) >> (width - 2)
+            if all_unit_re:
+                sub1 = x1r
+            else:
+                sub1 = (x1r * twr + bias) >> (width - 2)
             wr = _wrap16((x0r + sgn * sub1) >> 1)
             continue
         if s == zero_imag_stages and zero_imag_stages > 0:
@@ -153,10 +166,16 @@ def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16,
             mr = pltpu.roll(wr, d, 0)
             x1r = jnp.where(is_x0, pr, wr)
             x0r = jnp.where(is_x0, wr, mr)
-            m0 = x1r * twr
-            m2 = x1r * (twr - twi)
-            sub1 = (m0 + bias) >> (width - 2)
-            sub2 = (m0 + bias - m2) >> (width - 2)
+            if unit_pair:
+                # tw in {(u,0), (0,-u)}: sub1 = x1r / 0, sub2 = 0 / -x1r
+                re_row = twr != 0
+                sub1 = jnp.where(re_row, x1r, 0)
+                sub2 = jnp.where(re_row, 0, -x1r)
+            else:
+                m0 = x1r * twr
+                m2 = x1r * (twr - twi)
+                sub1 = (m0 + bias) >> (width - 2)
+                sub2 = (m0 + bias - m2) >> (width - 2)
             wr_new = _wrap16((x0r + sgn * sub1) >> 1)
             wi = _wrap16((sgn * sub2) >> 1)
             wr = wr_new
@@ -395,6 +414,7 @@ def pallas_int_supported(cfg: MFCCConfig) -> bool:
     return (_jax.default_backend() == "tpu" and cfg.nfft == 512
             and cfg.nfilters in (16, 32) and cfg.width == 16
             and cfg.window_precision == 8 and cfg.power_width == 30
+            and cfg.windowlen == cfg.nfft
             and int_ops._fb_int32_layout_ok(cfg))
 
 

@@ -196,8 +196,15 @@ class FeatureServer:
         lengths = np.full(S, C, dtype=np.int32)
         for i, slot in enumerate(self._slots):
             with slot.lock:
-                if slot.send is None or (slot.n_buffered < C
-                                         and not slot.eof):
+                if slot.send is None:
+                    continue
+                # a residual run is flushable once something bounds it: a
+                # full chunk, client EOF, or a reset word that arrived AFTER
+                # buffered samples (e.g. a file boundary -- the run's frames
+                # must be emitted without waiting for more input)
+                bounded = any(r and j > 0
+                              for j, (_, r) in enumerate(slot.pending))
+                if slot.n_buffered < C and not slot.eof and not bounded:
                     continue
                 # A chunk holds samples of ONE reset epoch.  In hardware,
                 # frames complete continuously as samples arrive, and a soft

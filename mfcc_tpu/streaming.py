@@ -44,7 +44,7 @@ class StreamState(NamedTuple):
 def init_state(n_streams: int, cfg: MFCCConfig = MFCCConfig(),
                dtype=jnp.float32) -> StreamState:
     return StreamState(
-        buffer=jnp.zeros((n_streams, cfg.nfft - 1), dtype),
+        buffer=jnp.zeros((n_streams, cfg.windowlen - 1), dtype),
         count=jnp.zeros((n_streams,), jnp.int32),
         prev=jnp.zeros((n_streams,), dtype),
     )
@@ -81,7 +81,8 @@ def _chunk_step(chunk, state: StreamState, reset, cfg: MFCCConfig,
     carry state or a valid frame)."""
     C = chunk.shape[0]
     nfft, hop = cfg.nfft, cfg.hop
-    P = nfft - 1
+    wl = cfg.windowlen                  # frame completes after wl samples
+    P = wl - 1
     F = max_frames_per_chunk(C, cfg)
     L = jnp.int32(C) if length is None else length.astype(jnp.int32)
 
@@ -96,8 +97,10 @@ def _chunk_step(chunk, state: StreamState, reset, cfg: MFCCConfig,
     start0 = P - count                              # first unframed sample
 
     total = count + L
-    n_valid = jnp.maximum((total - nfft) // hop + 1, 0)
-    frames = _gather_frames(buf, start0, F, nfft, hop)
+    n_valid = jnp.maximum((total - wl) // hop + 1, 0)
+    frames = _gather_frames(buf, start0, F, wl, hop)
+    if wl < nfft:                       # Frame's zero-pad mode (frame.py:77)
+        frames = jnp.pad(frames, ((0, 0), (0, nfft - wl)))
     mask = jnp.arange(F, dtype=jnp.int32) < n_valid
 
     new_count = total - n_valid * hop               # always <= nfft-1

@@ -24,7 +24,8 @@ def float_intermediates(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
     simulator collects (mfcc/core/mfcc.py:171-183)."""
     x = jnp.asarray(audio).astype(dtype)
     emph = framing.preemphasis(x)
-    frames = framing.extract_frames(emph, cfg.nfft, cfg.hop)
+    frames = framing.extract_frames(emph, cfg.nfft, cfg.hop,
+                                    windowlen=cfg.windowlen)
     win = frames * jnp.asarray(tables.float_window(cfg.nfft), dtype)
     spec = jnp.fft.rfft(win, axis=-1) / cfg.nfft
     spec_re = spec.real.astype(dtype)   # complex arrays don't transfer on
@@ -47,7 +48,8 @@ def int_intermediates(audio, cfg: MFCCConfig = MFCCConfig()) -> dict:
     with jax.enable_x64():
         x = jnp.asarray(audio, dtype=jnp.int32)
         emph = framing.preemphasis_int(x)
-        frames = framing.extract_frames(emph, cfg.nfft, cfg.hop)
+        frames = framing.extract_frames(emph, cfg.nfft, cfg.hop,
+                                    windowlen=cfg.windowlen)
         win = int_ops.window_int(frames, cfg.nfft, cfg.window_precision,
                                  cfg.width)
         re, im = int_ops.fft_stream_int(win, cfg.width)

@@ -58,3 +58,26 @@ def test_streaming_state_checkpoint_file(tmp_path, audio_int16):
     state2 = load_state(p)
     for a, b in zip(state, state2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_windowlen_zero_pad_mode(audio_int16):
+    """Frame's windowlen < nfft zero-pad mode (frame.py:77,120), exposed via
+    window_samples: batch AND streaming match the oracle element-exactly
+    (closes the round-1 coverage caveat on the Frame component)."""
+    cfg = MFCCConfig(window_samples=340)          # < nfft=512
+    sig = audio_int16.astype(np.int64)            # 1192 samples
+    want = int_ref.mfcc_int(sig, cfg)
+    assert want.shape[0] == (len(sig) - 340) // cfg.hop + 1   # 6 frames
+    got = np.asarray(MFCC(cfg).int(sig))
+    assert np.array_equal(want, got)
+
+    from mfcc_tpu.streaming import StreamingMFCC
+    sm = StreamingMFCC(cfg, int_path=True)
+    outs, state = sm.process(sig[None], chunk_size=299)
+    assert np.array_equal(outs[0], want)
+    assert int(np.asarray(state.count)[0]) == len(sig) - want.shape[0] * cfg.hop
+
+    # float path: frames beyond windowlen enter the window/DFT as zeros
+    outf = np.asarray(MFCC(cfg)(sig.astype(np.float32)))
+    assert outf.shape == want.shape
+    assert np.isfinite(outf).all()
