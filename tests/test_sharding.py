@@ -103,6 +103,30 @@ def test_sharded_streaming_int_exact(audio_int16):
         assert np.array_equal(np.concatenate(outs[s]), want)
 
 
+def test_halo_exchange_matches_unsharded(audio_int16):
+    """Explicit shard_map + ppermute halo (parallel/halo.py): one collective
+    of nfft-hop samples per sp boundary, results equal the unsharded batch
+    pipeline within f32 noise."""
+    import jax
+    from mfcc_tpu.parallel import halo
+
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    sp = mesh.shape.get("sp", 1)
+    sig = audio_int16.astype(np.float32)
+    Tp = halo.pad_for_halo(len(sig), mesh, CFG)
+    batch = np.zeros((max(4, 2 * n), Tp), np.float32)
+    batch[:] = np.pad(sig, (0, Tp - len(sig)))
+    x = shard_streams(jnp.asarray(batch), mesh)
+    fn = halo.mfcc_halo_fn(mesh, CFG)
+    out = np.asarray(fn(x))
+    F = CFG.n_frames(Tp)
+    assert out.shape[1] == Tp // CFG.hop and out.shape[1] >= F
+    want = np.asarray(MFCC(CFG)(jnp.asarray(batch[0])))
+    for s in range(batch.shape[0]):
+        assert np.abs(out[s, :F] - want).max() < 1e-3
+
+
 def test_graft_entry_single():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
