@@ -112,24 +112,26 @@ def decode_frames(data: bytes, ncep: int, prefer_native: bool = True):
     if prefer_native and native.available():
         return native.decode_frames(data, ncep)
     buf = np.frombuffer(data, dtype=np.uint8)
+    frame_bytes = 2 * ncep
+    # all candidate magic positions at once; the loop below advances one
+    # FRAME per iteration (payload bytes that look like magic are skipped by
+    # jumping pos past the consumed frame), so cost is O(bytes) + O(frames)
+    syncs = (np.flatnonzero((buf[:-1] == 0xA5) & (buf[1:] == 0x5A))
+             if len(buf) > 1 else np.empty(0, np.int64))
     frames = []
     pos = 0
     consumed = 0
-    frame_bytes = 2 * ncep
     while True:
-        sync = -1
-        for i in range(pos, len(buf) - 1):
-            if buf[i] == 0xA5 and buf[i + 1] == 0x5A:
-                sync = i + 2
-                break
-        if sync < 0:
-            consumed = max(len(buf) - 1, consumed)
+        k = np.searchsorted(syncs, pos)
+        if k == len(syncs):
+            consumed = max(len(buf) - 1 if len(buf) else 0, consumed)
             break
+        sync = int(syncs[k]) + 2
         if sync + frame_bytes > len(buf):
             consumed = sync - 2
             break
-        col = buf[sync: sync + frame_bytes].view(">i2").astype(np.int16)
-        frames.append(col)
+        frames.append(buf[sync: sync + frame_bytes].view(">i2")
+                      .astype(np.int16))
         pos = sync + frame_bytes
         consumed = pos
     out = (np.stack(frames) if frames
