@@ -60,6 +60,8 @@ def resolve_base(cfg, kind):
         return lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg, split=True)
     if kind == "pallas-recomp":
         return lambda a: pallas_mfcc.mfcc_pallas_recomp(a, cfg, split=False)
+    if kind == "pallas-recomp-t":
+        return lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, cfg)
     if kind == "pallas-recomp-bf16":
         return lambda a: pallas_mfcc.mfcc_pallas_recomp(a, cfg, split=True)
     if kind == "int":
@@ -211,7 +213,8 @@ def main():
         # pallas-recomp-bf16 and pallas-split are expected to REJECT on the
         # real-wav gate (4-pass bf16 ~2.3e-3 there); kept as candidates so
         # the rejection is visible in the bench log
-        candidates = ["pallas-recomp", "pallas-recomp-bf16", "dft"]
+        candidates = ["pallas-recomp", "pallas-recomp-t",
+                      "pallas-recomp-bf16", "dft"]
 
     F = cfg.n_frames(T)
     x = jax.device_put(jnp.asarray(make_audio(S, T)))

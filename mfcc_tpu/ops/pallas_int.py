@@ -74,6 +74,15 @@ def _ladder_constants(size: int, width: int = 16):
 
 
 @functools.lru_cache(maxsize=None)
+def _ladder_packed_constants(size: int, width: int = 16):
+    """Kernel-operand twiddle columns [twr | twr+twi | twr-twi]: the 3-mult
+    butterfly's per-stage multiplicands (fft.py:152-180), precomputed so the
+    kernel never forms the sum/difference at runtime.  (size, 3*L) int32."""
+    cr, ci = _ladder_constants(size, width)
+    return np.concatenate([cr, cr + ci, cr - ci], axis=1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
 def _fb_limb_matrix(cfg: MFCCConfig):
     """Filterbank 8-bit limb matrices with bin->row permutation folded in:
     (4, ntap, size) f32 where column r holds the weight of FFT output row r
@@ -112,13 +121,24 @@ def _dct_constants(nfilters: int):
 # ---------------------------------------------------------------------------
 
 def _wrap16(v):
-    return ((v & 0xFFFF) ^ 0x8000) - 0x8000
+    # sign-extend the low 16 bits (== ((v & 0xFFFF) ^ 0x8000) - 0x8000, one
+    # op cheaper); int32 << overflow is mod-2^32, invisible after the >>
+    return (v << 16) >> 16
 
 
-def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16,
+def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
             zero_imag_stages: int = 0):
     """Bit-exact natural-order DIT ladder on (size, lanes) int32 arrays.
-    twr_ref/twi_ref: (size, nstages) constant refs.
+    tw_ref: (size, 3*nstages) constant ref, columns [twr | twr+twi | twr-twi]
+    (_ladder_packed_constants).
+
+    Butterfly subs are computed from each row's OWN values: the per-row
+    twiddle is pair-constant (tw[r] == tw[r^d] -- bit L-1-s is shifted out
+    of the stage's group index), so sub(x1) evaluated at the x1 row equals
+    what the x0 row needs; one roll distributes it.  This replaces the
+    4-select x1/x0 assembly + sgn multiplies of the direct form with
+    2 selects and pure adds/subs -- 3 int32 multiplies per stage instead
+    of 5, same rolls, bit-identical results.
 
     ``zero_imag_stages``: number of leading stages for which the CALLER
     guarantees the imaginary input is identically zero AND the stage's
@@ -133,10 +153,8 @@ def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16,
     rows = jax.lax.broadcasted_iota(jnp.int32, (size, wr.shape[1]), 0)
     for s in range(L):
         d = 1 << (L - 1 - s)
-        twr = twr_ref[:, s: s + 1]
-        twi = twi_ref[:, s: s + 1]
+        twr = tw_ref[:, s: s + 1]
         is_x0 = (rows & d) == 0
-        sgn = jnp.where(is_x0, 1, -1)
         # trace-time twiddle-pattern facts for multiplier-free shortcuts:
         # (x*unit + bias) >> (width-2) == x exactly (bias < unit, x<<14 has
         # zero low bits), so unit twiddles need no multiply at all
@@ -148,56 +166,51 @@ def _ladder(wr, wi, twr_ref, twi_ref, size: int, width: int = 16,
         if s < zero_imag_stages:
             # wi == 0 and tw imag == 0: m1 = 0, m0 - m2 = x1r*twi = 0 ->
             # sub2 = bias >> (width-2) = 0, yi = (0 +- 0) >> 1 = 0
-            pr = pltpu.roll(wr, size - d, 0)
-            mr = pltpu.roll(wr, d, 0)
-            x1r = jnp.where(is_x0, pr, wr)
-            x0r = jnp.where(is_x0, wr, mr)
             if all_unit_re:
-                sub1 = x1r
+                sb1 = wr
             else:
-                sub1 = (x1r * twr + bias) >> (width - 2)
-            wr = _wrap16((x0r + sgn * sub1) >> 1)
+                sb1 = (wr * twr + bias) >> (width - 2)
+            a1 = wr + pltpu.roll(sb1, size - d, 0)      # x0 rows: own + sub@r+d
+            b1 = pltpu.roll(wr, d, 0) - sb1             # x1 rows: x0@r-d - own sub
+            wr = _wrap16(jnp.where(is_x0, a1, b1) >> 1)
             continue
         if s == zero_imag_stages and zero_imag_stages > 0:
             # wi still == 0, but tw imag may be nonzero: the imaginary side
             # reduces to sub2 = (x1r*twr + bias - x1r*(twr-twi)) >> (w-2)
             # and yi = (0 +- sub2) >> 1
-            pr = pltpu.roll(wr, size - d, 0)
-            mr = pltpu.roll(wr, d, 0)
-            x1r = jnp.where(is_x0, pr, wr)
-            x0r = jnp.where(is_x0, wr, mr)
             if unit_pair:
-                # tw in {(u,0), (0,-u)}: sub1 = x1r / 0, sub2 = 0 / -x1r
+                # tw in {(u,0), (0,-u)}: sub1 = own / 0, sub2 = 0 / -own
                 re_row = twr != 0
-                sub1 = jnp.where(re_row, x1r, 0)
-                sub2 = jnp.where(re_row, 0, -x1r)
+                sb1 = jnp.where(re_row, wr, 0)
+                sb2 = jnp.where(re_row, 0, -wr)
             else:
-                m0 = x1r * twr
-                m2 = x1r * (twr - twi)
-                sub1 = (m0 + bias) >> (width - 2)
-                sub2 = (m0 + bias - m2) >> (width - 2)
-            wr_new = _wrap16((x0r + sgn * sub1) >> 1)
-            wi = _wrap16((sgn * sub2) >> 1)
+                m0 = wr * twr + bias
+                sb1 = m0 >> (width - 2)
+                sb2 = (m0 - wr * tw_ref[:, 2 * L + s: 2 * L + s + 1]) \
+                    >> (width - 2)
+            a1 = wr + pltpu.roll(sb1, size - d, 0)
+            b1 = pltpu.roll(wr, d, 0) - sb1
+            wr_new = _wrap16(jnp.where(is_x0, a1, b1) >> 1)
+            # imag side: x0i == 0 on both rows -> y = (0 +- sub2) >> 1
+            wi = _wrap16(jnp.where(is_x0,
+                                   pltpu.roll(sb2, size - d, 0), -sb2) >> 1)
             wr = wr_new
             continue
-        # partner values (pltpu.roll requires non-negative shifts)
-        pr = pltpu.roll(wr, size - d, 0)   # row r -> value of row r+d
-        pi = pltpu.roll(wi, size - d, 0)
-        mr = pltpu.roll(wr, d, 0)          # row r -> value of row r-d
-        mi = pltpu.roll(wi, d, 0)
-        # butterfly at x0 rows: x0 = (wr, wi), x1 = (pr, pi)
-        x1r = jnp.where(is_x0, pr, wr)
-        x1i = jnp.where(is_x0, pi, wi)
-        x0r = jnp.where(is_x0, wr, mr)
-        x0i = jnp.where(is_x0, wi, mi)
-        m0 = (x1r + x1i) * twr
-        m1 = x1i * (twr + twi)
-        m2 = x1r * (twr - twi)
-        sub1 = (m0 + bias - m1) >> (width - 2)
-        sub2 = (m0 + bias - m2) >> (width - 2)
-        # x0 rows take y0 = (x0 + sub) >> 1 ; x1 rows take y1 = (x0 - sub) >> 1
-        wr = _wrap16((x0r + sgn * sub1) >> 1)
-        wi = _wrap16((x0i + sgn * sub2) >> 1)
+        twc1 = tw_ref[:, L + s: L + s + 1]           # twr + twi
+        twc2 = tw_ref[:, 2 * L + s: 2 * L + s + 1]   # twr - twi
+        # subs from OWN values (3-mult factorization, fft.py:152-180)
+        u = (wr + wi) * twr + bias
+        sb1 = (u - wi * twc1) >> (width - 2)
+        sb2 = (u - wr * twc2) >> (width - 2)
+        # distribute: x0 rows add the partner's sub, x1 rows subtract their
+        # own sub from the partner's x0 value (rolls wrap circularly, but
+        # every wrapped row falls on the other half of the select)
+        a1 = wr + pltpu.roll(sb1, size - d, 0)
+        b1 = pltpu.roll(wr, d, 0) - sb1
+        a2 = wi + pltpu.roll(sb2, size - d, 0)
+        b2 = pltpu.roll(wi, d, 0) - sb2
+        wr = _wrap16(jnp.where(is_x0, a1, b1) >> 1)
+        wi = _wrap16(jnp.where(is_x0, a2, b2) >> 1)
     return wr, wi
 
 
@@ -216,7 +229,7 @@ def _zero_imag_stage_count(size: int, width: int = 16) -> int:
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _post_fft_stages(wr, wi, fb_ref, dtwr_ref, dtwi_ref, out_ref, dbuf_r,
+def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                      *, cfg: MFCCConfig, fb_shift: int, lanes: int):
     """Stages 2-5 (power, filterbank, log2, DCT) shared by the kernel
     variants; wr/wi: (nfft, lanes) ladder outputs."""
@@ -282,25 +295,25 @@ def _post_fft_stages(wr, wi, fb_ref, dtwr_ref, dtwi_ref, out_ref, dbuf_r,
         dbuf_r[fill_a[k], :] = logmel[k, :]
         dbuf_r[fill_b[k], :] = logmel[k, :]
     cr, ci = _ladder(dbuf_r[:], jnp.zeros((4 * ntap, lanes), jnp.int32),
-                     dtwr_ref, dtwi_ref, 4 * ntap,
+                     dtw_ref, 4 * ntap,
                      zero_imag_stages=_zero_imag_stage_count(4 * ntap))
     for k in range(cfg.nceptrums):
         out_ref[0, k, :] = cr[out_rows[k], :]
 
 
-def _int_kernel(win_ref, twr_ref, twi_ref, fb_ref, dtwr_ref, dtwi_ref,
+def _int_kernel(win_ref, tw_ref, fb_ref, dtw_ref,
                 out_ref, dbuf_r, *, cfg: MFCCConfig, fb_shift: int):
     # 1. bit-exact 512-pt FFT ladder (real input, imag = 0; the leading
     # zero-twiddle-imag stages skip the imaginary datapath entirely)
     wr, wi = _ladder(win_ref[0], jnp.zeros_like(win_ref[0]),
-                     twr_ref, twi_ref, cfg.nfft,
+                     tw_ref, cfg.nfft,
                      zero_imag_stages=_zero_imag_stage_count(cfg.nfft))
-    _post_fft_stages(wr, wi, fb_ref, dtwr_ref, dtwi_ref, out_ref, dbuf_r,
+    _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                      cfg=cfg, fb_shift=fb_shift, lanes=BF)
 
 
-def _int_kernel_v2(xa_ref, xb_ref, wincol_ref, twr_ref, twi_ref, fb_ref,
-                   dtwr_ref, dtwi_ref, out_ref, fbuf, dbuf_r, *,
+def _int_kernel_v2(xa_ref, xb_ref, wincol_ref, tw_ref, fb_ref,
+                   dtw_ref, out_ref, fbuf, dbuf_r, *,
                    cfg: MFCCConfig, fb_shift: int, bf: int, nseg: int):
     """Framing + windowing fused in (positions-major): the block reads two
     adjacent (hop, bf) lane-tiles of the TRANSPOSED emphasized signal and
@@ -320,9 +333,9 @@ def _int_kernel_v2(xa_ref, xb_ref, wincol_ref, twr_ref, twi_ref, fb_ref,
     # window_int, positions-major: (x * curve[p]) >> (precision+1), wrap16
     xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
                              cfg.width)
-    wr, wi = _ladder(xw, jnp.zeros_like(xw), twr_ref, twi_ref, nfft,
+    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft,
                      zero_imag_stages=_zero_imag_stage_count(nfft))
-    _post_fft_stages(wr, wi, fb_ref, dtwr_ref, dtwi_ref, out_ref, dbuf_r,
+    _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                      cfg=cfg, fb_shift=fb_shift, lanes=bf)
 
 
@@ -363,9 +376,9 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     rows = emph[:, : Lp * hop].reshape(S, Lp, hop)
     TT = rows.swapaxes(-1, -2)                                # (S, hop, Lp)
 
-    twr, twi = _ladder_constants(nfft)
+    tw = _ladder_packed_constants(nfft)
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
-    dtwr, dtwi = _ladder_constants(4 * cfg.nfilters)
+    dtw = _ladder_packed_constants(4 * cfg.nfilters)
     wincol = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
                         np.int32).reshape(nfft, 1)
     n4 = 4 * cfg.nfilters
@@ -383,15 +396,11 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, 1), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfft, twr.shape[1]), lambda n: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfft, twi.shape[1]), lambda n: (0, 0),
+            pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n4, dtwr.shape[1]), lambda n: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n4, dtwi.shape[1]), lambda n: (0, 0),
+            pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, cfg.nceptrums, bf), lambda n: (n, 0, 0),
@@ -401,8 +410,8 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
             pltpu.VMEM((nfft, bf), jnp.int32),
             pltpu.VMEM((n4, bf), jnp.int32),
         ],
-    )(TT, TT, jnp.asarray(wincol), jnp.asarray(twr), jnp.asarray(twi),
-      jnp.asarray(fb_limbs), jnp.asarray(dtwr), jnp.asarray(dtwi))
+    )(TT, TT, jnp.asarray(wincol), jnp.asarray(tw),
+      jnp.asarray(fb_limbs), jnp.asarray(dtw))
 
     out = out.swapaxes(-1, -2).reshape(S, Fp, cfg.nceptrums)[:, :F]
     return out.reshape(lead + (F, cfg.nceptrums))
@@ -443,9 +452,9 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
         win = jnp.pad(win, ((0, Mp - M), (0, 0)))
     winT = win.reshape(nblocks, BF, nfft).swapaxes(-1, -2)  # (nb, nfft, BF)
 
-    twr, twi = _ladder_constants(nfft)
+    tw = _ladder_packed_constants(nfft)
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
-    dtwr, dtwi = _ladder_constants(4 * cfg.nfilters)
+    dtw = _ladder_packed_constants(4 * cfg.nfilters)
     n4 = 4 * cfg.nfilters
 
     out = pl.pallas_call(
@@ -454,15 +463,11 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, nfft, BF), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfft, twr.shape[1]), lambda n: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfft, twi.shape[1]), lambda n: (0, 0),
+            pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n4, dtwr.shape[1]), lambda n: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n4, dtwi.shape[1]), lambda n: (0, 0),
+            pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, cfg.nceptrums, BF), lambda n: (n, 0, 0),
@@ -472,8 +477,8 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((n4, BF), jnp.int32),
         ],
-    )(winT, jnp.asarray(twr), jnp.asarray(twi), jnp.asarray(fb_limbs),
-      jnp.asarray(dtwr), jnp.asarray(dtwi))
+    )(winT, jnp.asarray(tw), jnp.asarray(fb_limbs),
+      jnp.asarray(dtw))
 
     out = out.swapaxes(-1, -2).reshape(Mp, cfg.nceptrums)[:M]
     return out.reshape(lead + (F_in, cfg.nceptrums))
@@ -512,9 +517,9 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
     # (S, nblocks, BF, nfft) -> (N, nfft, BF): positions-major blocks
     winT = win.reshape(S * nblocks, BF, nfft).swapaxes(-1, -2)
 
-    twr, twi = _ladder_constants(nfft)
+    tw = _ladder_packed_constants(nfft)
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
-    dtwr, dtwi = _ladder_constants(4 * cfg.nfilters)
+    dtw = _ladder_packed_constants(4 * cfg.nfilters)
     N = S * nblocks
     n4 = 4 * cfg.nfilters
 
@@ -524,15 +529,11 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
         in_specs=[
             pl.BlockSpec((1, nfft, BF), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfft, twr.shape[1]), lambda n: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfft, twi.shape[1]), lambda n: (0, 0),
+            pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n4, dtwr.shape[1]), lambda n: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n4, dtwi.shape[1]), lambda n: (0, 0),
+            pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, cfg.nceptrums, BF), lambda n: (n, 0, 0),
@@ -541,8 +542,8 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
         scratch_shapes=[
             pltpu.VMEM((n4, BF), jnp.int32),
         ],
-    )(winT, jnp.asarray(twr), jnp.asarray(twi), jnp.asarray(fb_limbs),
-      jnp.asarray(dtwr), jnp.asarray(dtwi))
+    )(winT, jnp.asarray(tw), jnp.asarray(fb_limbs),
+      jnp.asarray(dtw))
 
     # (N, ncep, BF) -> (S, Fp, ncep) -> trim padding, restore leading dims
     out = out.swapaxes(-1, -2).reshape(S, Fp, cfg.nceptrums)[:, :F]

@@ -705,3 +705,120 @@ def mfcc_pallas_seg(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
         out_shape=jax.ShapeDtypeStruct((N, BF, ncep), jnp.float32),
     )(Xmain, Xtail, d_arg, jnp.asarray(mel), jnp.asarray(dct))
     return out.reshape(S, nblocks * BF, ncep)[:, :F]
+
+
+# ---------------------------------------------------------------------------
+# Transposed recomposition kernel: positions-major frames, sublane copies
+# ---------------------------------------------------------------------------
+#
+# The recomp kernel's remaining non-matmul cost is the four (BF, hop)
+# sub-matrix copies whose DESTINATION lane offsets (q*hop = 0,170,340,510)
+# force a lane rotation per copy.  This variant adopts the INT v2 layout
+# (pallas_int._int_kernel_v2): the host supplies the RAW signal transposed
+# to (hop, rows) tiles, the kernel rebuilds the frame matrix POSITIONS-MAJOR
+# -- copy q lands at sublane offset q*hop with a small lane shift of q --
+# and the whole pipeline runs in the (positions/bins, frame-lanes)
+# orientation, ending with a (ncep, BF) output the host un-transposes.
+# Pre-emphasis happens in transposed space: sample (l*hop + t)'s predecessor
+# is row t-1 same lane for t>0 and row hop-1, lane l-1 for t == 0 (lane 0
+# takes the block's SMEM prev scalar), replacing the same reference stage
+# (mfcc/core/preemph.py:20-27).
+
+@functools.lru_cache(maxsize=None)
+def _kernel_operators_t(cfg: MFCCConfig):
+    CS, mel, dct = _kernel_operators(cfg)
+    return (np.ascontiguousarray(CS.T), np.ascontiguousarray(mel.T),
+            np.ascontiguousarray(dct.T))
+
+
+def _mfcc_recomp_t_kernel(xa_ref, xb_ref, prev_ref, cs_ref, mel_ref, dct_ref,
+                          out_ref, fbuf, *, nfft, hop, nbins, ncep, bf, nseg):
+    C = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=1)      # (hop, 2*bf)
+    rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
+    lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
+    up = pltpu.roll(C, 1, 0)                     # row t <- row t-1
+    wrapped = pltpu.roll(C[hop - 1: hop, :], 1, 1)  # lane l <- lane l-1
+    prev_row0 = jnp.where(lanecol == 0, prev_ref[0, 0, 0], wrapped)
+    prev = jnp.where(rows == 0, prev_row0, up)
+    E = C - jnp.float32(framing.EMPHASIS_COEFF) * prev
+
+    for q in range(nseg):
+        p0 = q * hop
+        w = min(hop, nfft - p0)
+        fbuf[p0: p0 + w, :] = E[:w, q: q + bf]
+
+    reim = jnp.dot(cs_ref[:], fbuf[:],
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)      # (2*nbins, bf)
+    re = reim[:nbins]
+    im = reim[nbins:]
+    power = re * re + im * im                                # (nbins, bf)
+    melspec = jnp.dot(mel_ref[:], power,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)   # (ntap, bf)
+    logmel = jnp.log2(melspec)
+    out_ref[0] = jnp.dot(dct_ref[:], logmel,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # (ncep, bf)
+
+
+def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                         *, bf: int = BF) -> jnp.ndarray:
+    """Fused transposed-recomposition kernel on RAW audio:
+    (S, T) -> (S, F, nceptrums).  f32-HIGHEST throughout."""
+    audio = audio.astype(jnp.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+    S, T = audio.shape
+    nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
+    nbins = nfft // 2
+    nseg = -(-nfft // hop)
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nblocks = -(-F // bf)
+    Fp = nblocks * bf
+    N = S * nblocks
+
+    # transposed hop-row layout; pad the lane axis so block n can always
+    # read lane-tiles n and n+1 (same trick as pallas_int.mfcc_int_pallas_v2)
+    Lp = (nblocks + 1) * bf
+    need = Lp * hop
+    if need > T:
+        audio = jnp.pad(audio, ((0, 0), (0, need - T)))
+    rows = audio[:, : Lp * hop].reshape(S, Lp, hop)
+    TT = rows.swapaxes(-1, -2)                               # (S, hop, Lp)
+    # raw sample immediately before each block (0 for a stream's first block)
+    prev_idx = jnp.maximum(jnp.arange(nblocks) * bf * hop - 1, 0)
+    prevs = (audio[:, prev_idx] * (jnp.arange(nblocks) > 0)).reshape(N, 1, 1)
+
+    cs_t, mel_t, dct_t = _kernel_operators_t(cfg)
+
+    out = pl.pallas_call(
+        functools.partial(_mfcc_recomp_t_kernel, nfft=nfft, hop=hop,
+                          nbins=nbins, ncep=ncep, bf=bf, nseg=nseg),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, hop, bf),
+                         lambda n, nb=nblocks: (n // nb, 0, n % nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hop, bf),
+                         lambda n, nb=nblocks: (n // nb, 0, n % nb + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((2 * nbins, nfft), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.nfilters, nbins), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ncep, cfg.nfilters), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ncep, bf), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, ncep, bf), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nfft, bf), jnp.float32),
+        ],
+    )(TT, TT, prevs, jnp.asarray(cs_t), jnp.asarray(mel_t),
+      jnp.asarray(dct_t))
+    return out.swapaxes(-1, -2).reshape(S, Fp, ncep)[:, :F]

@@ -150,7 +150,10 @@ int main(int argc, char **argv) {
 
     int64_t want = n >= NFFT ? (n - NFFT) / HOP + 1 : 0;
     std::vector<int16_t> cep;
-    if (read_frames(fd, ncep, want, cep, carry) != 0) {
+    // want == 0 (wav shorter than one frame): the server emits nothing for
+    // this stream, and blocking in recv() here would deadlock -- the next
+    // file's frames can't arrive before we send its samples.
+    if (want > 0 && read_frames(fd, ncep, want, cep, carry) != 0) {
       fprintf(stderr, "short read on %s\n", wavs[i].c_str());
       rc = 1;
       break;

@@ -108,3 +108,26 @@ def test_segmented_matches_oracle(audio_int16):
                                    method="segmented"))
     got = np.asarray(fn(jnp.asarray(audio_int16, jnp.float32)))
     assert np.abs(want - got).max() < 5e-4
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_recomp_t(audio_int16, reference_wav):
+    """Transposed recomposition kernel (positions-major frames, in-kernel
+    pre-emphasis in transposed space) holds the gate on synthetic + real
+    speech, including multi-block signals exercising the SMEM prev scalar."""
+    from mfcc_tpu.ops import pallas_mfcc
+    fn = jax.jit(lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, CFG))
+    # short 2-stream signal
+    sig = np.stack([audio_int16, audio_int16[::-1]]).astype(np.float32)
+    got = np.asarray(fn(jnp.asarray(sig)))
+    want = np.stack([float_ref.mfcc_float(sig[i], CFG) for i in range(2)])
+    assert got.shape == want.shape == (2, 5, 32)
+    assert np.abs(want - got).max() < 5e-4
+    # real speech spanning >1 block of 128 frames (prev-scalar path)
+    long = reference_wav[: 512 + 186 * 170]
+    want_l = float_ref.mfcc_float(long, CFG)
+    got_l = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, CFG))(
+        jnp.asarray(long[None], jnp.float32)))[0]
+    assert np.abs(want_l - got_l).max() < 5e-4
