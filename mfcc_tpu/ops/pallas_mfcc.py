@@ -765,10 +765,13 @@ def _mfcc_recomp_t_kernel(xa_ref, xb_ref, prev_ref, cs_ref, mel_ref, dct_ref,
 def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                          *, bf: int = BF) -> jnp.ndarray:
     """Fused transposed-recomposition kernel on RAW audio:
-    (S, T) -> (S, F, nceptrums).  f32-HIGHEST throughout."""
+    (..., T) -> (..., F, nceptrums).  f32-HIGHEST throughout."""
     audio = audio.astype(jnp.float32)
+    lead = audio.shape[:-1]
     if audio.ndim == 1:
         audio = audio[None]
+    elif audio.ndim > 2:
+        audio = audio.reshape(-1, audio.shape[-1])
     S, T = audio.shape
     nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
     nbins = nfft // 2
@@ -821,4 +824,5 @@ def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
         ],
     )(TT, TT, prevs, jnp.asarray(cs_t), jnp.asarray(mel_t),
       jnp.asarray(dct_t))
-    return out.swapaxes(-1, -2).reshape(S, Fp, ncep)[:, :F]
+    out = out.swapaxes(-1, -2).reshape(S, Fp, ncep)[:, :F]
+    return out.reshape(lead + (F, ncep))

@@ -42,9 +42,23 @@ class MFCC:
         self.dtype = dtype
         self.mel_floor = mel_floor
 
-        self._float_jit = jax.jit(functools.partial(
-            float_ops.mfcc_batch, cfg=cfg, method=method,
-            precision=precision, dtype=dtype, mel_floor=mel_floor))
+        # on TPU the fused float kernel (transposed recomposition,
+        # f32-HIGHEST -- the bench winner, gate-clean on real speech) is the
+        # default whenever the caller asked for the default spec; any
+        # explicit method/precision/dtype/mel_floor choice is honored via
+        # the XLA formulations, as are non-default frame geometries
+        if (method == "dft" and precision == "highest"
+                and dtype == jnp.float32 and mel_floor == 0.0
+                and jax.default_backend() == "tpu"
+                and cfg.windowlen == cfg.nfft):
+            from .ops import pallas_mfcc
+            float_batch = functools.partial(
+                pallas_mfcc.mfcc_pallas_recomp_t, cfg=cfg)
+        else:
+            float_batch = functools.partial(
+                float_ops.mfcc_batch, cfg=cfg, method=method,
+                precision=precision, dtype=dtype, mel_floor=mel_floor)
+        self._float_jit = jax.jit(float_batch)
         self._float_frames_jit = jax.jit(functools.partial(
             float_ops.mfcc_frames, cfg=cfg, method=method,
             precision=precision, dtype=dtype, mel_floor=mel_floor))
