@@ -173,22 +173,29 @@ def filterbank_int32(power: jnp.ndarray, sample_rate: int = 16000,
     The emitted band value is ``(S >> shift) & (2^width_output - 1)`` with
     S = sum_k d_k * W[k, j] needed only mod 2^(shift + width_output) = 2^46
     for the default config.  Decompose d and W into 8-bit limbs: every
-    limb-pair partial sum over the nbins axis is < 2^24 and therefore EXACT
-    in a float32 matmul (products < 2^16, f32 holds integers to 2^24), which
-    puts the whole filterbank on the MXU.  The limb partial sums are then
-    recombined in int32 using two base-2^23 digits covering bits [0, 46):
-    the output field (bits shift..shift+15) lies entirely inside digit 1.
+    limb-pair partial sum over the nbins axis is < 2^24 (asserted) and
+    therefore EXACT in an MXU matmul with f32 accumulation.  The 8-bit limb
+    operands are themselves exact in bfloat16 (8 mantissa bits hold integers
+    to 256), so the matmuls run as SINGLE-pass bf16 MXU ops -- ~6x less MXU
+    work than f32-HIGHEST emulation for bit-identical results.  The limb
+    partial sums are then recombined in int32 using base-2^23 digits
+    covering bits [0, 46): the output field (bits shift..shift+15) lies
+    entirely inside the digit window.
     """
     Wnp, shift = _fb_constants(sample_rate, nfft, ntap, wsize, gain,
                                width_output, width)
     need_bits = shift + width_output          # 47 for the default config
     assert width_output <= 23
     nlimb = 4                                  # 8-bit limbs of <=31-bit ints
+    # exactness bound: per-output partial sums d_limb . W_limb <= 255 * sum W_limb
+    w8 = [((Wnp >> (8 * i)) & 0xFF) for i in range(nlimb)]
+    assert max(int((255 * w.sum(axis=0)).max()) for w in w8) < (1 << 24), \
+        "limb partial sum would exceed f32 integer exactness"
     d32 = power.astype(jnp.int32)
-    d_limbs = [((d32 >> (8 * j)) & 0xFF).astype(jnp.float32)
+    d_limbs = [((d32 >> (8 * j)) & 0xFF).astype(jnp.bfloat16)
                for j in range(nlimb)]
-    w_limbs = [jnp.asarray(((Wnp >> (8 * i)) & 0xFF).astype(np.float32))
-               for i in range(nlimb)]
+    w_limbs = [jnp.asarray(w.astype(np.float32), jnp.bfloat16)
+               for w in w8]
 
     # base-2^23 digits D[0..3] of S; each stays < 2^28 before normalization
     ndig = 4
@@ -201,8 +208,7 @@ def filterbank_int32(power: jnp.ndarray, sample_rate: int = 16000,
             if s >= need_bits:                 # 2^s = 0 mod 2^need_bits
                 continue
             P = jnp.matmul(d_limbs[j], w_limbs[i],
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           preferred_element_type=jnp.float32)
             P = P.astype(jnp.int32)            # exact: P < 2^24
             t = s % 23
             d = s // 23

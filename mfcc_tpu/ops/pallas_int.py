@@ -100,7 +100,12 @@ def _fb_limb_matrix(cfg: MFCCConfig):
             perm[r] = Wnp[k]
     limbs = np.stack([((perm >> (8 * i)) & 0xFF).T.astype(np.float32)
                       for i in range(4)])          # (4, ntap, size)
-    return limbs, shift
+    # 8-bit limbs are exact in bf16 (8 mantissa bits hold integers to 256)
+    # and the per-output partial sums stay < 2^24 (asserted), so the limb
+    # matmuls run as SINGLE-pass bf16 MXU ops with exact f32 accumulation
+    assert int((255 * limbs.sum(axis=2)).max()) < (1 << 24), \
+        "limb partial sum would exceed f32 integer exactness"
+    return limbs.astype(jnp.bfloat16), shift
 
 
 @functools.lru_cache(maxsize=None)
@@ -239,8 +244,9 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     s = wr * wr + wi * wi
     power = jax.lax.shift_right_logical(s, jnp.int32(2 * 16 - cfg.power_width))
 
-    # 3. integer filterbank: 8-bit limb f32 matmuls (rows pre-permuted)
-    p_limbs = [((power >> (8 * j)) & 0xFF).astype(jnp.float32)
+    # 3. integer filterbank: 8-bit limb bf16 matmuls (rows pre-permuted;
+    # single-pass exact -- see _fb_limb_matrix)
+    p_limbs = [((power >> (8 * j)) & 0xFF).astype(jnp.bfloat16)
                for j in range(4)]
     D = [None, None, None, None]       # base-2^23 digits of S
     need_bits = fb_shift + 16
@@ -250,8 +256,7 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
             if sh >= need_bits:
                 continue
             P = jnp.dot(fb_ref[i], p_limbs[j],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        preferred_element_type=jnp.float32)
             P = P.astype(jnp.int32)
             t = sh % 23
             dd = sh // 23
