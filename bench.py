@@ -41,12 +41,16 @@ INT_TARGET_FRAMES_PER_S = 9.4e6  # 100k concurrent 16 kHz streams (BASELINE.md)
 
 
 def make_audio(S, T, seed=0):
+    """Integer-valued samples (the 16-bit wire contract), as float32 --
+    so the f32 and int16 input routes see IDENTICAL values and one
+    accuracy gate covers both."""
     rng = np.random.default_rng(seed)
     t = np.arange(T) / 16000.0
     base = (9000 * np.sin(2 * np.pi * (200 + 3000 * t) * t)
             + 4000 * np.sin(2 * np.pi * 900 * t))
     noise = rng.integers(-1500, 1500, (S, T))
-    return np.clip(base[None, :] + noise, -32768, 32767).astype(np.float32)
+    return np.round(np.clip(base[None, :] + noise,
+                            -32768, 32767)).astype(np.float32)
 
 
 def resolve_base(cfg, kind):
@@ -60,7 +64,9 @@ def resolve_base(cfg, kind):
         return lambda a: pallas_mfcc.mfcc_batch_pallas(a, cfg, split=True)
     if kind == "pallas-recomp":
         return lambda a: pallas_mfcc.mfcc_pallas_recomp(a, cfg, split=False)
-    if kind == "pallas-recomp-t":
+    if kind in ("pallas-recomp-t", "pallas-recomp-t-i16"):
+        # -i16 differs only in the INPUT dtype the bench feeds (the kernel
+        # streams int16 at half the HBM traffic and upcasts in VMEM)
         return lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, cfg)
     if kind == "pallas-recomp-bf16":
         return lambda a: pallas_mfcc.mfcc_pallas_recomp(a, cfg, split=True)
@@ -213,12 +219,22 @@ def main():
         # pallas-recomp-bf16 and pallas-split are expected to REJECT on the
         # real-wav gate (4-pass bf16 ~2.3e-3 there); kept as candidates so
         # the rejection is visible in the bench log
-        candidates = ["pallas-recomp", "pallas-recomp-t",
-                      "pallas-recomp-bf16", "dft"]
+        candidates = ["pallas-recomp-t", "pallas-recomp-t-i16",
+                      "pallas-recomp", "pallas-recomp-bf16", "dft"]
 
     F = cfg.n_frames(T)
     x = jax.device_put(jnp.asarray(make_audio(S, T)))
     float(x.sum())  # force residency
+    x_i16 = None  # lazily created for the int16-input candidates
+
+    def timing_input(kind):
+        nonlocal x_i16
+        if not kind.endswith("-i16"):
+            return x
+        if x_i16 is None:
+            x_i16 = jax.device_put(jnp.asarray(make_audio(S, T), jnp.int16))
+            int(jnp.abs(x_i16).max())
+        return x_i16
 
     int_fps, int_exact = (0.0, False)
     if not args.quick:
@@ -227,9 +243,12 @@ def main():
     best = None
     for kind in candidates:
         try:
+            # accuracy is gated on the f32 route; make_audio is integer-
+            # valued, so the -i16 route computes on IDENTICAL values
             err = accuracy_of(cfg, kind)
             fn = build_fn(cfg, kind)
-            dt = time_fn(fn, x, iters)
+            xt = timing_input(kind)
+            dt = time_fn(fn, xt, iters, salt_dtype=xt.dtype)
         except Exception as e:
             print(f"# {kind}: FAILED ({e!r})", file=sys.stderr)
             continue
@@ -253,7 +272,8 @@ def main():
         # overhead (~2-4 ms through remote tunnels) doesn't pollute the
         # steady-state number
         try:
-            fused = time_fused(cfg, best[1], x, S * F, reps=4, iters=4)
+            fused = time_fused(cfg, best[1], timing_input(best[1]), S * F,
+                               reps=4, iters=4)
             print(f"# winner {best[1]} fused-dispatch: "
                   f"{fused/1e6:.3f} Mframes/s", file=sys.stderr)
             fps = max(fused, fps)

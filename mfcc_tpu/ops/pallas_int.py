@@ -317,23 +317,36 @@ def _int_kernel(win_ref, tw_ref, fb_ref, dtw_ref,
                      cfg=cfg, fb_shift=fb_shift, lanes=BF)
 
 
-def _int_kernel_v2(xa_ref, xb_ref, wincol_ref, tw_ref, fb_ref,
+def _int_kernel_v2(xa_ref, xb_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
                    dtw_ref, out_ref, fbuf, dbuf_r, *,
                    cfg: MFCCConfig, fb_shift: int, bf: int, nseg: int):
-    """Framing + windowing fused in (positions-major): the block reads two
-    adjacent (hop, bf) lane-tiles of the TRANSPOSED emphasized signal and
+    """Pre-emphasis + framing + windowing fused in (positions-major): the
+    block reads two adjacent (hop, bf) lane-tiles of the TRANSPOSED RAW
+    int16 signal (half the HBM traffic of an int32 emphasized signal) and
     rebuilds the (nfft, bf) frame matrix with ``nseg`` lane-shifted
     sub-matrix copies -- frame lane i, position q*hop+t is row t, lane i+q
-    of the tile pair.  The reference's ring-buffer overlap re-reads
-    (mfcc/core/frame.py:86-114) become lane offsets; the window LUT product
-    (window.py:22-43 datapath, already folded into wincol) is one broadcast
-    multiply per position row."""
+    of the tile pair.  Pre-emphasis runs in transposed space: sample
+    (l*hop + t)'s predecessor is row t-1 same lane for t > 0 and row hop-1,
+    lane l-1 for t == 0 (lane 0 takes the block's SMEM prev scalar) --
+    the same reference stage as preemph.py:20-27.  The ring-buffer overlap
+    re-reads (mfcc/core/frame.py:86-114) become lane offsets; the window
+    LUT product (window.py:22-43 datapath, already folded into wincol) is
+    one broadcast multiply per position row."""
     nfft, hop = cfg.nfft, cfg.hop
-    C = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=1)   # (hop, 2*bf)
+    C = jnp.concatenate([xa_ref[0], xb_ref[0]],
+                        axis=1).astype(jnp.int32)         # (hop, 2*bf)
+    rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
+    lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
+    up = pltpu.roll(C, 1, 0)                        # row t <- row t-1
+    wrapped = pltpu.roll(C[hop - 1: hop, :], 1, 1)  # lane l <- lane l-1
+    prev_row0 = jnp.where(lanecol == 0, prev_ref[0, 0, 0], wrapped)
+    prev = jnp.where(rows == 0, prev_row0, up)
+    # y = wrap16(x + (prev >> 5) - prev)  (preemph.py:23)
+    E = framing.wrap_signed(C + (prev >> 5) - prev, cfg.width)
     for q in range(nseg):
         p0 = q * hop
         w = min(hop, nfft - p0)
-        fbuf[p0: p0 + w, :] = C[:w, q: q + bf]
+        fbuf[p0: p0 + w, :] = E[:w, q: q + bf]
     x = fbuf[:]                                           # (nfft, bf) int32
     # window_int, positions-major: (x * curve[p]) >> (precision+1), wrap16
     xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
@@ -346,11 +359,13 @@ def _int_kernel_v2(xa_ref, xb_ref, wincol_ref, tw_ref, fb_ref,
 
 def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                        *, bf: int = BF) -> jnp.ndarray:
-    """Fused bit-exact INT pipeline, v2: framing, windowing and the
-    positions-major transpose happen IN the kernel.  The XLA prologue is one
-    fused pre-emphasis pass plus one (T -> positions, rows) transpose of the
-    1x signal -- no 3x overlapped-frame gather, no windowing pass, no
-    frame-matrix transpose.  (S, T) int32 -> (S, F, nceptrums) int32."""
+    """Fused bit-exact INT pipeline, v2: pre-emphasis, framing, windowing
+    and the positions-major transpose all happen IN the kernel.  The XLA
+    prologue is ONE (T -> positions, rows) transpose of the RAW int16
+    signal (half the bytes of an emphasized int32 signal) -- no emphasis
+    pass, no 3x overlapped-frame gather, no windowing pass, no frame-matrix
+    transpose.  (S, T) int16-range -> (S, F, nceptrums) int32.  Samples are
+    taken mod 2^16 (the int16 wire contract, software/main.c:134-151)."""
     assert cfg.nfft == 512 and cfg.nfilters in (16, 32), \
         "kernel assumes the reference config family"
     assert cfg.width == 16 and cfg.window_precision == 8 \
@@ -371,15 +386,20 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     Fp = nblocks * bf
     N = S * nblocks
 
-    emph = framing.preemphasis_int(audio.astype(jnp.int32))   # one fused pass
+    raw = audio.astype(jnp.int16)                # the int16 wire contract
     # hop-rows, transposed; pad the lane (row-index) axis so block n can
     # always read lane-tiles n and n+1
     Lp = (nblocks + 1) * bf
     need = Lp * hop
     if need > T:
-        emph = jnp.pad(emph, ((0, 0), (0, need - T)))
-    rows = emph[:, : Lp * hop].reshape(S, Lp, hop)
+        raw = jnp.pad(raw, ((0, 0), (0, need - T)))
+    rows = raw[:, : Lp * hop].reshape(S, Lp, hop)
     TT = rows.swapaxes(-1, -2)                                # (S, hop, Lp)
+    # raw sample immediately before each block (0 for a stream's first
+    # block) -- the pre-emphasis carry across block boundaries
+    prev_idx = jnp.maximum(jnp.arange(nblocks) * bf * hop - 1, 0)
+    prevs = (raw[:, prev_idx].astype(jnp.int32)
+             * (jnp.arange(nblocks) > 0)).reshape(N, 1, 1)
 
     tw = _ladder_packed_constants(nfft)
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
@@ -399,6 +419,8 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
             pl.BlockSpec((1, hop, bf),
                          lambda n: (n // nblocks, 0, n % nblocks + 1),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((nfft, 1), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
@@ -415,7 +437,7 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
             pltpu.VMEM((nfft, bf), jnp.int32),
             pltpu.VMEM((n4, bf), jnp.int32),
         ],
-    )(TT, TT, jnp.asarray(wincol), jnp.asarray(tw),
+    )(TT, TT, prevs, jnp.asarray(wincol), jnp.asarray(tw),
       jnp.asarray(fb_limbs), jnp.asarray(dtw))
 
     out = out.swapaxes(-1, -2).reshape(S, Fp, cfg.nceptrums)[:, :F]

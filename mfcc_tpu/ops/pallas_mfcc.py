@@ -734,6 +734,8 @@ def _kernel_operators_t(cfg: MFCCConfig):
 def _mfcc_recomp_t_kernel(xa_ref, xb_ref, prev_ref, cs_ref, mel_ref, dct_ref,
                           out_ref, fbuf, *, nfft, hop, nbins, ncep, bf, nseg):
     C = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=1)      # (hop, 2*bf)
+    if C.dtype != jnp.float32:
+        C = C.astype(jnp.float32)      # int16 wire input: upcast in VMEM
     rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
     lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
     up = pltpu.roll(C, 1, 0)                     # row t <- row t-1
@@ -765,8 +767,13 @@ def _mfcc_recomp_t_kernel(xa_ref, xb_ref, prev_ref, cs_ref, mel_ref, dct_ref,
 def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                          *, bf: int = BF) -> jnp.ndarray:
     """Fused transposed-recomposition kernel on RAW audio:
-    (..., T) -> (..., F, nceptrums).  f32-HIGHEST throughout."""
-    audio = audio.astype(jnp.float32)
+    (..., T) -> (..., F, nceptrums).  f32-HIGHEST throughout.
+
+    int16 input is streamed to the kernel AS int16 (half the HBM traffic --
+    the wire format is 16-bit samples, software/main.c:134-151) and upcast
+    in VMEM; any other dtype is cast to f32 on the host."""
+    if audio.dtype != jnp.int16:
+        audio = audio.astype(jnp.float32)
     lead = audio.shape[:-1]
     if audio.ndim == 1:
         audio = audio[None]
@@ -790,9 +797,11 @@ def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
         audio = jnp.pad(audio, ((0, 0), (0, need - T)))
     rows = audio[:, : Lp * hop].reshape(S, Lp, hop)
     TT = rows.swapaxes(-1, -2)                               # (S, hop, Lp)
-    # raw sample immediately before each block (0 for a stream's first block)
+    # raw sample immediately before each block (0 for a stream's first
+    # block); always f32 so the SMEM scalar matches the upcast kernel values
     prev_idx = jnp.maximum(jnp.arange(nblocks) * bf * hop - 1, 0)
-    prevs = (audio[:, prev_idx] * (jnp.arange(nblocks) > 0)).reshape(N, 1, 1)
+    prevs = (audio[:, prev_idx].astype(jnp.float32)
+             * (jnp.arange(nblocks) > 0)).reshape(N, 1, 1)
 
     cs_t, mel_t, dct_t = _kernel_operators_t(cfg)
 

@@ -131,3 +131,22 @@ def test_pallas_recomp_t(audio_int16, reference_wav):
         lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, CFG))(
         jnp.asarray(long[None], jnp.float32)))[0]
     assert np.abs(want_l - got_l).max() < 5e-4
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_recomp_t_int16_input(audio_int16, reference_wav):
+    """int16 wire input (software/main.c:134-151) streamed to the kernel AS
+    int16 and upcast in VMEM must be bit-identical to the f32 route on the
+    same integer-valued samples -- including across the block-boundary SMEM
+    prev scalar."""
+    from mfcc_tpu.ops import pallas_mfcc
+    long = reference_wav[: 512 + 186 * 170]
+    for sig in (np.stack([audio_int16, audio_int16[::-1]]), long[None]):
+        f32 = np.asarray(jax.jit(
+            lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, CFG))(
+            jnp.asarray(sig, jnp.float32)))
+        i16 = np.asarray(jax.jit(
+            lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, CFG))(
+            jnp.asarray(sig, jnp.int16)))
+        assert np.array_equal(f32, i16)
