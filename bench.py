@@ -68,6 +68,8 @@ def resolve_base(cfg, kind):
         # -i16 differs only in the INPUT dtype the bench feeds (the kernel
         # streams int16 at half the HBM traffic and upcasts in VMEM)
         return lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, cfg)
+    if kind in ("pallas-radix2", "pallas-radix2-i16"):
+        return lambda a: pallas_mfcc.mfcc_pallas_radix2(a, cfg)
     if kind == "pallas-recomp-bf16":
         return lambda a: pallas_mfcc.mfcc_pallas_recomp(a, cfg, split=True)
     if kind == "int":
@@ -219,7 +221,8 @@ def main():
         # pallas-recomp-bf16 and pallas-split are expected to REJECT on the
         # real-wav gate (4-pass bf16 ~2.3e-3 there); kept as candidates so
         # the rejection is visible in the bench log
-        candidates = ["pallas-recomp-t", "pallas-recomp-t-i16",
+        candidates = ["pallas-radix2-i16", "pallas-radix2",
+                      "pallas-recomp-t", "pallas-recomp-t-i16",
                       "pallas-recomp", "pallas-recomp-bf16", "dft"]
 
     F = cfg.n_frames(T)
@@ -240,7 +243,7 @@ def main():
     if not args.quick:
         int_fps, int_exact = bench_int(cfg, S, T, F, max(6, iters // 2))
 
-    best = None
+    passing = []
     for kind in candidates:
         try:
             # accuracy is gated on the f32 route; make_audio is integer-
@@ -256,8 +259,10 @@ def main():
         ok = err <= ACCURACY_GATE
         print(f"# {kind}: {fps/1e6:.3f} Mframes/s ({dt*1e3:.2f} ms/iter), "
               f"err={err:.2e} {'OK' if ok else 'REJECT'}", file=sys.stderr)
-        if ok and (best is None or fps > best[0]):
-            best = (fps, kind)
+        if ok:
+            passing.append((fps, kind))
+    passing.sort(reverse=True)
+    best = passing[0] if passing else None
 
     if best is None:
         print(json.dumps({"metric": "mfcc_frames_per_second", "value": 0,
@@ -271,14 +276,19 @@ def main():
         # refine the winner with device-side repetition so per-call dispatch
         # overhead (~2-4 ms through remote tunnels) doesn't pollute the
         # steady-state number
-        try:
-            fused = time_fused(cfg, best[1], timing_input(best[1]), S * F,
-                               reps=4, iters=4)
-            print(f"# winner {best[1]} fused-dispatch: "
-                  f"{fused/1e6:.3f} Mframes/s", file=sys.stderr)
-            fps = max(fused, fps)
-        except Exception as e:
-            print(f"# fused refinement failed: {e!r}", file=sys.stderr)
+        # per-iter ordering is polluted by per-dispatch overhead and by the
+        # salt-copy cost (dtype-dependent), so fuse-time the top TWO
+        # candidates and keep the max
+        for _, kind in passing[:2]:
+            try:
+                fused = time_fused(cfg, kind, timing_input(kind), S * F,
+                                   reps=8, iters=3)
+                print(f"# {kind} fused-dispatch: "
+                      f"{fused/1e6:.3f} Mframes/s", file=sys.stderr)
+                fps = max(fused, fps)
+            except Exception as e:
+                print(f"# fused refinement ({kind}) failed: {e!r}",
+                      file=sys.stderr)
 
     print(json.dumps({
         "metric": "mfcc_frames_per_second",

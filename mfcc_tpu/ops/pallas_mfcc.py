@@ -835,3 +835,196 @@ def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
       jnp.asarray(dct_t))
     out = out.swapaxes(-1, -2).reshape(S, Fp, ncep)[:, :F]
     return out.reshape(lead + (F, ncep))
+
+
+# ---------------------------------------------------------------------------
+# Radix-2 whole-stream kernel: split real DFT, half the MXU work
+# ---------------------------------------------------------------------------
+#
+# The recomp-T kernel's time is dominated by the (512, 512) HIGHEST DFT
+# matmul.  This kernel halves that work with one radix-2 DIT level computed
+# as matmuls: E/O = DFT-256 of the even/odd windowed frame positions (one
+# (272, 256) @ (256, 2L) matmul -- conjugate symmetry means only bins
+# 0..128 of each half are ever computed), then A_j = E_j + W^j O_j covers
+# spectrum bins 0..128 and B_j = E_j - W^j O_j covers bins 256-j.  The
+# conjugation and the descending bin order of the B rows die in the power
+# spectrum (|conj z|^2 == |z|^2), so the reconstruction permutation is
+# absorbed into the HOST-side column order of the mel matrix and no
+# in-kernel reversal exists (Mosaic has no sublane-reverse primitive).
+# The even/odd position split costs one value reshape (hop, L) ->
+# (hop/2, 2, L); frame-rebuild copies land at contiguous destination rows
+# because hop is even.
+#
+# Blocks are whole-stream super-blocks: grid=(S * nchunks,), each step
+# reading NBK+1 contiguous lane-tiles (no tile double-read, one big DMA),
+# with the pre-emphasis carry entering as one SMEM scalar per super-block.
+# This replaces the same reference stages as the recomp-T kernel; the
+# radix-2 split itself is the matmul analogue of one level of the RTL's
+# DIT ladder (mfcc/misc/fft.py:197-346), with the bank scheduling replaced
+# by operand layout.
+
+NBMAX = 4  # lane-tiles per super-block (VMEM cap: ~3.5 MB at 4)
+
+
+@functools.lru_cache(maxsize=None)
+def _radix2_operators(cfg: MFCCConfig):
+    """Constants for the radix-2 split kernel.
+
+    Returns (csp, we, wo, twc, tws, mela, melb, dct_t):
+      csp  (272, 256): pure DFT-256 matrix, rows [0,129) cos/512, rows
+                       [136, 265) -sin/512 (8-row aligned halves)
+      we/wo (256, 1):  Hamming window at even/odd frame positions
+      twc/tws (136,1): cos/sin(2 pi j / nfft) recombination twiddles
+      mela (32, 136):  mel columns for bins 0..128 (the A rows)
+      melb (32, 136):  mel columns for bins 256-j (the B rows; col 0 and
+                       col 128 zeroed -- bin 256 is out of range and bin
+                       128 is already covered by A)
+      dct_t (ncep, 32)
+    """
+    nfft = cfg.nfft
+    nh = nfft // 2
+    nq = nfft // 4 + 1
+    scale = 1.0 / nfft
+    j = np.arange(nq)[:, None]
+    m = np.arange(nh)[None, :]
+    csp = np.zeros((272, nh), np.float32)
+    csp[:nq] = np.cos(2 * np.pi * j * m / nh) * scale
+    csp[136:136 + nq] = -np.sin(2 * np.pi * j * m / nh) * scale
+    w = tables.float_window(nfft)
+    we = w[0::2].astype(np.float32)[:, None]
+    wo = w[1::2].astype(np.float32)[:, None]
+    twc = np.zeros((136, 1), np.float32)
+    tws = np.zeros((136, 1), np.float32)
+    twc[:nq, 0] = np.cos(2 * np.pi * np.arange(nq) / nfft)
+    tws[:nq, 0] = np.sin(2 * np.pi * np.arange(nq) / nfft)
+    mel_t = tables.float_mel_matrix(cfg.samplerate, cfg.nfft,
+                                    cfg.nfilters)[:nh].T   # (32, 256)
+    mela = np.zeros((cfg.nfilters, 136), np.float32)
+    mela[:, :nq] = mel_t[:, :nq]
+    melb = np.zeros((cfg.nfilters, 136), np.float32)
+    for jj in range(1, 128):
+        melb[:, jj] = mel_t[:, 256 - jj]
+    dct = tables.dct2_ortho_matrix(cfg.nfilters)[:, : cfg.nceptrums]
+    dct_t = np.ascontiguousarray(dct.T.astype(np.float32))
+    return csp, we, wo, twc, tws, mela, melb, dct_t
+
+
+def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
+                        twc_ref, tws_ref, mela_ref, melb_ref, dct_ref,
+                        out_ref, fbuf2, *, nfft, hop, ncep, bf, nseg, nbk):
+    L = nbk * bf
+    tiles = [xm_ref[0, i] for i in range(nbk)] + [xx_ref[0, 0]]
+    C = jnp.concatenate(tiles, axis=1)               # (hop, (nbk+1)*bf)
+    if C.dtype != jnp.float32:
+        C = C.astype(jnp.float32)    # int16 wire input: upcast in VMEM
+    rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
+    lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
+    up = pltpu.roll(C, 1, 0)                        # row t <- row t-1
+    wrapped = pltpu.roll(C[hop - 1: hop, :], 1, 1)  # lane l <- lane l-1
+    prev_row0 = jnp.where(lanecol == 0, prev_ref[0, 0, 0], wrapped)
+    prev = jnp.where(rows == 0, prev_row0, up)
+    E = C - jnp.float32(framing.EMPHASIS_COEFF) * prev
+    # even/odd position split: one value reshape (hop even)
+    Es = E.reshape(hop // 2, 2, C.shape[1])
+    Eev, Eod = Es[:, 0], Es[:, 1]                    # (hop/2, Ltot)
+    for b in range(nbk):
+        for q in range(nseg):
+            p0 = q * hop                             # even for even hop
+            w = min(hop, nfft - p0)
+            he, ho = (w + 1) // 2, w // 2
+            lane = b * bf + q
+            fbuf2[p0 // 2: p0 // 2 + he, b * bf:(b + 1) * bf] = \
+                Eev[:he, lane: lane + bf]
+            fbuf2[p0 // 2: p0 // 2 + ho, L + b * bf: L + (b + 1) * bf] = \
+                Eod[:ho, lane: lane + bf]
+    fbuf2[:, :L] = fbuf2[:, :L] * we_ref[:]
+    fbuf2[:, L:] = fbuf2[:, L:] * wo_ref[:]
+    eo = jnp.dot(csp_ref[:], fbuf2[:],
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)    # (272, 2L)
+    Ere, Eim = eo[:136, :L], eo[136:272, :L]
+    Ore, Oim = eo[:136, L:], eo[136:272, L:]
+    twc, tws = twc_ref[:], tws_ref[:]
+    Tre = twc * Ore + tws * Oim                     # W^j = cos - i sin
+    Tim = twc * Oim - tws * Ore
+    Are, Aim = Ere + Tre, Eim + Tim                 # bins 0..128
+    Bre, Bim = Ere - Tre, Eim - Tim                 # bins 256-j (conj)
+    pa = Are * Are + Aim * Aim
+    pb = Bre * Bre + Bim * Bim
+    melspec = (jnp.dot(mela_ref[:], pa,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+               + jnp.dot(melb_ref[:], pb,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST))
+    logmel = jnp.log2(melspec)
+    out_ref[0] = jnp.dot(dct_ref[:], logmel,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                       *, bf: int = BF) -> jnp.ndarray:
+    """Fused radix-2 split-DFT kernel on RAW audio:
+    (..., T) -> (..., F, nceptrums).  f32-HIGHEST throughout.
+
+    int16 input is streamed to the kernel AS int16 (the 16-bit wire
+    contract, software/main.c:134-151) and upcast in VMEM; other dtypes
+    are cast to f32 on the host."""
+    assert cfg.hop % 2 == 0, "radix-2 split kernel needs an even hop"
+    if audio.dtype != jnp.int16:
+        audio = audio.astype(jnp.float32)
+    lead = audio.shape[:-1]
+    if audio.ndim == 1:
+        audio = audio[None]
+    elif audio.ndim > 2:
+        audio = audio.reshape(-1, audio.shape[-1])
+    S, T = audio.shape
+    nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
+    nseg = -(-nfft // hop)
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nb = -(-F // bf)
+    nchunks = -(-nb // NBMAX)
+    nbk = -(-nb // nchunks)                    # balanced tiles per chunk
+    Fp = nchunks * nbk * bf
+    N = S * nchunks
+    L = nbk * bf
+
+    # contiguous lane-tile layout: tile l rows are samples l*bf*hop ...
+    Lp = nchunks * nbk + 1
+    need = Lp * bf * hop
+    if need > T:
+        audio = jnp.pad(audio, ((0, 0), (0, need - T)))
+    T4 = audio[:, : need].reshape(S, Lp, bf, hop).swapaxes(-1, -2)
+    # raw sample immediately before each super-block (0 at stream start)
+    prev_idx = jnp.maximum(jnp.arange(nchunks) * nbk * bf * hop - 1, 0)
+    prevs = (audio[:, prev_idx].astype(jnp.float32)
+             * (jnp.arange(nchunks) > 0)).reshape(N, 1, 1)
+
+    consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
+
+    out = pl.pallas_call(
+        functools.partial(_mfcc_radix2_kernel, nfft=nfft, hop=hop,
+                          ncep=ncep, bf=bf, nseg=nseg, nbk=nbk),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, nbk, hop, bf),
+                         lambda n, nc=nchunks: (n // nc, n % nc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hop, bf),
+                         lambda n, nc=nchunks, k=nbk:
+                         (n // nc, (n % nc) * k + k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
+                          memory_space=pltpu.VMEM) for a in consts],
+        out_specs=pl.BlockSpec((1, ncep, L), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, ncep, L), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nfft // 2, 2 * L), jnp.float32)],
+    )(T4, T4, prevs, *consts)
+    out = (out.reshape(S, nchunks, ncep, L).swapaxes(-1, -2)
+           .reshape(S, Fp, ncep)[:, :F])
+    return out.reshape(lead + (F, ncep))

@@ -150,3 +150,32 @@ def test_pallas_recomp_t_int16_input(audio_int16, reference_wav):
             lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, CFG))(
             jnp.asarray(sig, jnp.int16)))
         assert np.array_equal(f32, i16)
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_radix2(audio_int16, reference_wav):
+    """Radix-2 split-DFT kernel: parity on synthetic + real speech, int16
+    route bit-identical to f32, and the multi-super-block path (full
+    reference wav spans nchunks > 1) including the SMEM pre-emphasis
+    carry."""
+    from mfcc_tpu.ops import pallas_mfcc
+    # short 2-stream signal
+    sig = np.stack([audio_int16, audio_int16[::-1]]).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_radix2(a, CFG))(jnp.asarray(sig)))
+    want = np.stack([float_ref.mfcc_float(sig[i], CFG) for i in range(2)])
+    assert got.shape == want.shape == (2, 5, 32)
+    assert np.abs(want - got).max() < 5e-4
+    # real speech, full wav: F=1044 frames -> nb=9 -> nchunks=3, nbk=3
+    long = reference_wav
+    want_l = float_ref.mfcc_float(long, CFG)
+    f32 = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_radix2(a, CFG))(
+        jnp.asarray(long[None], jnp.float32)))[0]
+    assert want_l.shape == f32.shape
+    assert np.abs(want_l - f32).max() < 5e-4
+    i16 = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_radix2(a, CFG))(
+        jnp.asarray(long[None], jnp.int16)))[0]
+    assert np.array_equal(f32, i16)
