@@ -75,7 +75,7 @@ def resolve_base(cfg, kind):
     if kind == "int":
         from mfcc_tpu.ops import pallas_int
         if pallas_int.pallas_int_supported(cfg):
-            return lambda a: pallas_int.mfcc_int_pallas_v2(a, cfg)
+            return lambda a: pallas_int.mfcc_int_pallas_v3(a, cfg)
         from mfcc_tpu.ops import int_ops
         return lambda a: int_ops.mfcc_int_batch(a, cfg)
     if kind.endswith("-split"):
@@ -185,7 +185,7 @@ def bench_int(cfg, S, T, F, iters):
         fps = S * F / dt
         print(f"# int (bit-exact={exact}): {fps/1e6:.3f} Mframes/s "
               f"({dt*1e3:.2f} ms/iter, S={S})", file=sys.stderr)
-        fused = time_fused(cfg, "int", xi, S * F, reps=4, iters=4)
+        fused = time_fused(cfg, "int", xi, S * F, reps=8, iters=3)
         print(f"# int fused-dispatch: {fused/1e6:.3f} Mframes/s "
               f"(target {INT_TARGET_FRAMES_PER_S/1e6:.1f})", file=sys.stderr)
         fps = max(fps, fused)
@@ -276,10 +276,10 @@ def main():
         # refine the winner with device-side repetition so per-call dispatch
         # overhead (~2-4 ms through remote tunnels) doesn't pollute the
         # steady-state number
-        # per-iter ordering is polluted by per-dispatch overhead and by the
-        # salt-copy cost (dtype-dependent), so fuse-time the top TWO
-        # candidates and keep the max
-        for _, kind in passing[:2]:
+        # per-iter ordering is polluted by per-dispatch overhead, by the
+        # salt-copy cost (dtype-dependent) and by tunnel jitter, so
+        # fuse-time the top THREE candidates and keep the max
+        for _, kind in passing[:3]:
             try:
                 fused = time_fused(cfg, kind, timing_input(kind), S * F,
                                    reps=8, iters=3)

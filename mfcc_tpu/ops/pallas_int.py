@@ -55,10 +55,30 @@ def _bitrev(x: int, bits: int) -> int:
     return r
 
 
+def _sigma(r: int, L: int) -> int:
+    """The even/odd ladder row permutation: bit 0 of the natural row index
+    becomes the MSB (rotate-right-1 of the index bits).  XOR-partner pairs
+    survive any bit permutation, so the DIT ladder runs identically with
+    re-indexed strides; even natural rows -- exactly the non-conjugate
+    output bins, since bit 0 of the row is the MSB of bitrev(row) -- land
+    CONTIGUOUSLY in rows [0, size/2), making the power/filterbank input a
+    free slice instead of a relayout."""
+    return ((r & 1) << (L - 1)) | (r >> 1)
+
+
+def _ladder_strides(size: int, layout: str):
+    L = int(np.log2(size))
+    if layout == "evenodd":
+        return [1 << (L - 2 - s) if s < L - 1 else 1 << (L - 1)
+                for s in range(L)]
+    return [1 << (L - 1 - s) for s in range(L)]
+
+
 @functools.lru_cache(maxsize=None)
-def _ladder_constants(size: int, width: int = 16):
+def _ladder_constants(size: int, width: int = 16, layout: str = "natural"):
     """Per-stage twiddle COLUMNS in natural-row space: (size, nstages) int32
-    arrays (re, im): tw[r, s] = T[bitrev_s(r >> (L-s)) << (L-1-s)]."""
+    arrays (re, im): tw[r, s] = T[bitrev_s(r >> (L-s)) << (L-1-s)].
+    layout="evenodd": rows permuted by _sigma."""
     L = int(np.log2(size))
     twr, twi = tables.twiddle_table(size, width)
     cr = np.zeros((size, L), dtype=np.int32)
@@ -70,15 +90,22 @@ def _ladder_constants(size: int, width: int = 16):
             idx = j << (L - 1 - s)
             cr[r, s] = twr[idx]
             ci[r, s] = twi[idx]
+    if layout == "evenodd":
+        cr2, ci2 = np.zeros_like(cr), np.zeros_like(ci)
+        for r in range(size):
+            cr2[_sigma(r, L)] = cr[r]
+            ci2[_sigma(r, L)] = ci[r]
+        cr, ci = cr2, ci2
     return cr, ci
 
 
 @functools.lru_cache(maxsize=None)
-def _ladder_packed_constants(size: int, width: int = 16):
+def _ladder_packed_constants(size: int, width: int = 16,
+                             layout: str = "natural"):
     """Kernel-operand twiddle columns [twr | twr+twi | twr-twi]: the 3-mult
     butterfly's per-stage multiplicands (fft.py:152-180), precomputed so the
     kernel never forms the sum/difference at runtime.  (size, 3*L) int32."""
-    cr, ci = _ladder_constants(size, width)
+    cr, ci = _ladder_constants(size, width, layout)
     return np.concatenate([cr, cr + ci, cr - ci], axis=1).astype(np.int32)
 
 
@@ -93,13 +120,16 @@ def _fb_limb_matrix(cfg: MFCCConfig):
                                        cfg.nfilters, cfg.filter_wsize,
                                        cfg.filter_gain, 16, cfg.power_width)
     nbins = cfg.nfft // 2
-    perm = np.zeros((size, cfg.nfilters), dtype=np.int64)
-    for r in range(size):
-        k = _bitrev(r, L)
-        if k < nbins:
-            perm[r] = Wnp[k]
+    # a conjugate bin's weight row is zero, and bitrev(r) < nbins iff r is
+    # EVEN (bit 0 of r becomes the MSB of bitrev(r)) -- so the matrices
+    # keep only the EVEN ladder rows and the kernel extracts them with one
+    # (nbins, 2, lanes) value reshape: K is halved in every limb matmul
+    # (the stage cost is streaming the (K, lanes) RHS through the MXU).
+    perm = np.zeros((nbins, cfg.nfilters), dtype=np.int64)
+    for r in range(0, size, 2):
+        perm[r // 2] = Wnp[_bitrev(r, L)]
     limbs = np.stack([((perm >> (8 * i)) & 0xFF).T.astype(np.float32)
-                      for i in range(4)])          # (4, ntap, size)
+                      for i in range(4)])          # (4, ntap, nbins)
     # 8-bit limbs are exact in bf16 (8 mantissa bits hold integers to 256)
     # and the per-output partial sums stay < 2^24 (asserted), so the limb
     # matmuls run as SINGLE-pass bf16 MXU ops with exact f32 accumulation
@@ -132,7 +162,7 @@ def _wrap16(v):
 
 
 def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
-            zero_imag_stages: int = 0):
+            zero_imag_stages: int = 0, layout: str = "natural"):
     """Bit-exact natural-order DIT ladder on (size, lanes) int32 arrays.
     tw_ref: (size, 3*nstages) constant ref, columns [twr | twr+twi | twr-twi]
     (_ladder_packed_constants).
@@ -154,10 +184,11 @@ def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
     L = int(np.log2(size))
     bias = (1 << (width - 3)) - 1
     unit = 1 << (width - 2)                # the table's exact-one twiddle
-    np_cr, np_ci = _ladder_constants(size, width)   # trace-time constants
+    np_cr, np_ci = _ladder_constants(size, width, layout)  # trace-time consts
+    strides = _ladder_strides(size, layout)
     rows = jax.lax.broadcasted_iota(jnp.int32, (size, wr.shape[1]), 0)
     for s in range(L):
-        d = 1 << (L - 1 - s)
+        d = strides[s]
         twr = tw_ref[:, s: s + 1]
         is_x0 = (rows & d) == 0
         # trace-time twiddle-pattern facts for multiplier-free shortcuts:
@@ -239,13 +270,18 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     """Stages 2-5 (power, filterbank, log2, DCT) shared by the kernel
     variants; wr/wi: (nfft, lanes) ladder outputs."""
     ntap = cfg.nfilters
+    nbins = cfg.nfft // 2
 
-    # 2. power spectrum: (r*r + i*i) as a 32-bit field, logical >> 2
-    s = wr * wr + wi * wi
+    # 2. power spectrum.  The 512-pt ladder runs in the sigma (even/odd)
+    # row layout, so the non-conjugate bins ARE rows [0, nbins) -- the
+    # extraction is a free aligned slice (r*r + i*i as a 32-bit field, >>2)
+    wr_e = wr[:nbins]
+    wi_e = wi[:nbins]
+    s = wr_e * wr_e + wi_e * wi_e
     power = jax.lax.shift_right_logical(s, jnp.int32(2 * 16 - cfg.power_width))
 
-    # 3. integer filterbank: 8-bit limb bf16 matmuls (rows pre-permuted;
-    # single-pass exact -- see _fb_limb_matrix)
+    # 3. integer filterbank: 8-bit limb bf16 matmuls (rows pre-permuted,
+    # conjugate-zero columns dropped; single-pass exact -- _fb_limb_matrix)
     p_limbs = [((power >> (8 * j)) & 0xFF).astype(jnp.bfloat16)
                for j in range(4)]
     D = [None, None, None, None]       # base-2^23 digits of S
@@ -309,9 +345,10 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
 def _int_kernel(win_ref, tw_ref, fb_ref, dtw_ref,
                 out_ref, dbuf_r, *, cfg: MFCCConfig, fb_shift: int):
     # 1. bit-exact 512-pt FFT ladder (real input, imag = 0; the leading
-    # zero-twiddle-imag stages skip the imaginary datapath entirely)
+    # zero-twiddle-imag stages skip the imaginary datapath entirely).
+    # sigma row layout: the HOST feeds positions in [evens | odds] order.
     wr, wi = _ladder(win_ref[0], jnp.zeros_like(win_ref[0]),
-                     tw_ref, cfg.nfft,
+                     tw_ref, cfg.nfft, layout="evenodd",
                      zero_imag_stages=_zero_imag_stage_count(cfg.nfft))
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                      cfg=cfg, fb_shift=fb_shift, lanes=BF)
@@ -343,15 +380,23 @@ def _int_kernel_v2(xa_ref, xb_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     prev = jnp.where(rows == 0, prev_row0, up)
     # y = wrap16(x + (prev >> 5) - prev)  (preemph.py:23)
     E = framing.wrap_signed(C + (prev >> 5) - prev, cfg.width)
+    # sigma-layout rebuild: even positions -> rows [0, nfft/2), odd ->
+    # [nfft/2, nfft) (one cheap (hop/2, 2, lanes) value reshape; hop even)
+    half = nfft // 2
+    Es = E.reshape(hop // 2, 2, C.shape[1])
+    Eev, Eod = Es[:, 0], Es[:, 1]
     for q in range(nseg):
         p0 = q * hop
         w = min(hop, nfft - p0)
-        fbuf[p0: p0 + w, :] = E[:w, q: q + bf]
+        he, ho = (w + 1) // 2, w // 2
+        fbuf[p0 // 2: p0 // 2 + he, :] = Eev[:he, q: q + bf]
+        fbuf[half + p0 // 2: half + p0 // 2 + ho, :] = Eod[:ho, q: q + bf]
     x = fbuf[:]                                           # (nfft, bf) int32
     # window_int, positions-major: (x * curve[p]) >> (precision+1), wrap16
+    # (wincol comes sigma-permuted from the host)
     xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
                              cfg.width)
-    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft,
+    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
                      zero_imag_stages=_zero_imag_stage_count(nfft))
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                      cfg=cfg, fb_shift=fb_shift, lanes=bf)
@@ -401,11 +446,13 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     prevs = (raw[:, prev_idx].astype(jnp.int32)
              * (jnp.arange(nblocks) > 0)).reshape(N, 1, 1)
 
-    tw = _ladder_packed_constants(nfft)
+    tw = _ladder_packed_constants(nfft, layout="evenodd")
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
     dtw = _ladder_packed_constants(4 * cfg.nfilters)
-    wincol = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
-                        np.int32).reshape(nfft, 1)
+    wc = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
+                    np.int32)
+    # sigma row layout: [even positions | odd positions]
+    wincol = np.concatenate([wc[0::2], wc[1::2]]).reshape(nfft, 1)
     n4 = 4 * cfg.nfilters
 
     out = pl.pallas_call(
@@ -425,8 +472,8 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cfg.nfilters, nfft // 2),
+                         lambda n: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -444,10 +491,148 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     return out.reshape(lead + (F, cfg.nceptrums))
 
 
+NBMAX_INT = 4  # lane-tiles per whole-stream super-block (VMEM cap)
+
+
+def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
+                   dtw_ref, out_ref, fbuf, dbuf_r, *,
+                   cfg: MFCCConfig, fb_shift: int, bf: int, nseg: int,
+                   nbk: int):
+    """Whole-stream variant of _int_kernel_v2: one super-block reads nbk+1
+    contiguous lane-tiles (no tile double-read), rebuilds nbk blocks of
+    frames into one (nfft, nbk*bf) matrix, and runs the ladder and the
+    epilogue stages once over all lanes -- the (ntap, lanes) filterbank /
+    log2 / DCT matrices are nbk x wider, amortizing VPU instruction issue.
+    Same reference stages as v2; bit-exactness is untouched (the arithmetic
+    is per-lane)."""
+    nfft, hop = cfg.nfft, cfg.hop
+    L = nbk * bf
+    tiles = [xm_ref[0, i] for i in range(nbk)] + [xx_ref[0, 0]]
+    C = jnp.concatenate(tiles, axis=1).astype(jnp.int32)  # (hop, (nbk+1)*bf)
+    rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
+    lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
+    up = pltpu.roll(C, 1, 0)                        # row t <- row t-1
+    wrapped = pltpu.roll(C[hop - 1: hop, :], 1, 1)  # lane l <- lane l-1
+    prev_row0 = jnp.where(lanecol == 0, prev_ref[0, 0, 0], wrapped)
+    prev = jnp.where(rows == 0, prev_row0, up)
+    # y = wrap16(x + (prev >> 5) - prev)  (preemph.py:23)
+    E = framing.wrap_signed(C + (prev >> 5) - prev, cfg.width)
+    # sigma-layout rebuild: even positions -> rows [0, nfft/2), odd ->
+    # [nfft/2, nfft) (one cheap (hop/2, 2, lanes) value reshape; hop even)
+    half = nfft // 2
+    Es = E.reshape(hop // 2, 2, C.shape[1])
+    Eev, Eod = Es[:, 0], Es[:, 1]
+    for b in range(nbk):
+        for q in range(nseg):
+            p0 = q * hop
+            w = min(hop, nfft - p0)
+            he, ho = (w + 1) // 2, w // 2
+            lane = b * bf + q
+            fbuf[p0 // 2: p0 // 2 + he, b * bf:(b + 1) * bf] = \
+                Eev[:he, lane: lane + bf]
+            fbuf[half + p0 // 2: half + p0 // 2 + ho,
+                 b * bf:(b + 1) * bf] = Eod[:ho, lane: lane + bf]
+    x = fbuf[:]                                           # (nfft, L) int32
+    # (wincol comes sigma-permuted from the host)
+    xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
+                             cfg.width)
+    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
+                     zero_imag_stages=_zero_imag_stage_count(nfft))
+    _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
+                     cfg=cfg, fb_shift=fb_shift, lanes=L)
+
+
+def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                       *, bf: int = BF) -> jnp.ndarray:
+    """Fused bit-exact INT pipeline, v3: v2's in-kernel pre-emphasis /
+    framing / windowing plus whole-stream super-blocks (the float radix-2
+    kernel's blocking).  (S, T) int16-range -> (S, F, nceptrums) int32."""
+    assert cfg.nfft == 512 and cfg.nfilters in (16, 32), \
+        "kernel assumes the reference config family"
+    assert cfg.width == 16 and cfg.window_precision == 8 \
+        and cfg.power_width == 30, \
+        "kernel hardcodes the 16-bit datapath; use int_ops for other widths"
+    assert bf % 128 == 0
+    lead = audio.shape[:-1]
+    if audio.ndim == 1:
+        audio = audio[None]
+    elif audio.ndim > 2:
+        audio = audio.reshape(-1, audio.shape[-1])
+    nfft, hop = cfg.nfft, cfg.hop
+    nseg = -(-nfft // hop)
+    S, T = audio.shape
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nb = -(-F // bf)
+    nchunks = -(-nb // NBMAX_INT)
+    nbk = -(-nb // nchunks)                    # balanced tiles per chunk
+    Fp = nchunks * nbk * bf
+    N = S * nchunks
+    L = nbk * bf
+
+    raw = audio.astype(jnp.int16)                # the int16 wire contract
+    Lp = nchunks * nbk + 1
+    need = Lp * bf * hop
+    if need > T:
+        raw = jnp.pad(raw, ((0, 0), (0, need - T)))
+    T4 = raw[:, : need].reshape(S, Lp, bf, hop).swapaxes(-1, -2)
+    # raw sample immediately before each super-block (0 at stream start)
+    prev_idx = jnp.maximum(jnp.arange(nchunks) * nbk * bf * hop - 1, 0)
+    prevs = (raw[:, prev_idx].astype(jnp.int32)
+             * (jnp.arange(nchunks) > 0)).reshape(N, 1, 1)
+
+    tw = _ladder_packed_constants(nfft, layout="evenodd")
+    fb_limbs, fb_shift = _fb_limb_matrix(cfg)
+    dtw = _ladder_packed_constants(4 * cfg.nfilters)
+    wc = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
+                    np.int32)
+    # sigma row layout: [even positions | odd positions]
+    wincol = np.concatenate([wc[0::2], wc[1::2]]).reshape(nfft, 1)
+    n4 = 4 * cfg.nfilters
+
+    out = pl.pallas_call(
+        functools.partial(_int_kernel_v3, cfg=cfg, fb_shift=fb_shift,
+                          bf=bf, nseg=nseg, nbk=nbk),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, nbk, hop, bf),
+                         lambda n, nc=nchunks: (n // nc, n % nc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hop, bf),
+                         lambda n, nc=nchunks, k=nbk:
+                         (n // nc, (n % nc) * k + k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nfft, 1), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cfg.nfilters, nfft // 2),
+                         lambda n: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cfg.nceptrums, L), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, cfg.nceptrums, L), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((nfft, L), jnp.int32),
+            pltpu.VMEM((n4, L), jnp.int32),
+        ],
+    )(T4, T4, prevs, jnp.asarray(wincol), jnp.asarray(tw),
+      jnp.asarray(fb_limbs), jnp.asarray(dtw))
+
+    out = (out.reshape(S, nchunks, cfg.nceptrums, L).swapaxes(-1, -2)
+           .reshape(S, Fp, cfg.nceptrums)[:, :F])
+    return out.reshape(lead + (F, cfg.nceptrums))
+
+
 def pallas_int_supported(cfg: MFCCConfig) -> bool:
     """The fused kernels hardcode the reference 16-bit config family."""
     import jax as _jax
     return (_jax.default_backend() == "tpu" and cfg.nfft == 512
+            and cfg.hop % 2 == 0
             and cfg.nfilters in (16, 32) and cfg.width == 16
             and cfg.window_precision == 8 and cfg.power_width == 30
             and cfg.windowlen == cfg.nfft
@@ -477,9 +662,11 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
     Mp = nblocks * BF
     if Mp > M:
         win = jnp.pad(win, ((0, Mp - M), (0, 0)))
+    # sigma row layout: position axis reordered to [evens | odds]
+    win = jnp.concatenate([win[:, 0::2], win[:, 1::2]], axis=1)
     winT = win.reshape(nblocks, BF, nfft).swapaxes(-1, -2)  # (nb, nfft, BF)
 
-    tw = _ladder_packed_constants(nfft)
+    tw = _ladder_packed_constants(nfft, layout="evenodd")
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
     dtw = _ladder_packed_constants(4 * cfg.nfilters)
     n4 = 4 * cfg.nfilters
@@ -492,8 +679,8 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cfg.nfilters, nfft // 2),
+                         lambda n: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -541,10 +728,12 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
     Fp = nblocks * BF
     if Fp > F:
         win = jnp.pad(win, ((0, 0), (0, Fp - F), (0, 0)))
+    # sigma row layout: position axis reordered to [evens | odds]
+    win = jnp.concatenate([win[..., 0::2], win[..., 1::2]], axis=-1)
     # (S, nblocks, BF, nfft) -> (N, nfft, BF): positions-major blocks
     winT = win.reshape(S * nblocks, BF, nfft).swapaxes(-1, -2)
 
-    tw = _ladder_packed_constants(nfft)
+    tw = _ladder_packed_constants(nfft, layout="evenodd")
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
     dtw = _ladder_packed_constants(4 * cfg.nfilters)
     N = S * nblocks
@@ -558,8 +747,8 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, cfg.nfilters, nfft), lambda n: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cfg.nfilters, nfft // 2),
+                         lambda n: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -42,7 +42,7 @@ class MFCC:
         self.dtype = dtype
         self.mel_floor = mel_floor
 
-        # on TPU the fused float kernel (transposed recomposition,
+        # on TPU the fused float kernel (radix-2 split-DFT whole-stream,
         # f32-HIGHEST -- the bench winner, gate-clean on real speech) is the
         # default whenever the caller asked for the default spec; any
         # explicit method/precision/dtype/mel_floor choice is honored via
@@ -52,8 +52,9 @@ class MFCC:
                 and jax.default_backend() == "tpu"
                 and cfg.windowlen == cfg.nfft):
             from .ops import pallas_mfcc
-            float_batch = functools.partial(
-                pallas_mfcc.mfcc_pallas_recomp_t, cfg=cfg)
+            kern = (pallas_mfcc.mfcc_pallas_radix2 if cfg.hop % 2 == 0
+                    else pallas_mfcc.mfcc_pallas_recomp_t)
+            float_batch = functools.partial(kern, cfg=cfg)
         else:
             float_batch = functools.partial(
                 float_ops.mfcc_batch, cfg=cfg, method=method,
@@ -72,7 +73,7 @@ class MFCC:
         # which honors cfg.width (round-1 ADVICE, low).
         from .ops import pallas_int
         if pallas_int.pallas_int_supported(cfg):
-            int_batch = functools.partial(pallas_int.mfcc_int_pallas_v2,
+            int_batch = functools.partial(pallas_int.mfcc_int_pallas_v3,
                                           cfg=cfg)
             int_frames = functools.partial(pallas_int.mfcc_int_pallas_frames,
                                            cfg=cfg)

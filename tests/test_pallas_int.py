@@ -76,6 +76,29 @@ def test_pallas_int_v2_exact(audio_int16):
 
 @pytest.mark.skipif(_backend() not in ("tpu",),
                     reason="Mosaic kernel requires a TPU backend")
+def test_pallas_int_v3_exact(reference_wav):
+    """v3 (whole-stream super-blocks) is element-exact vs the RTL oracle on
+    full-range random data (1 super-block) and on the full reference wav
+    (nb=9 -> nchunks=3, exercising the cross-chunk SMEM pre-emphasis
+    carry)."""
+    from mfcc_tpu.ops import pallas_int
+    rng = np.random.default_rng(31)
+    sig = rng.integers(-32768, 32768, (2, 512 + 9 * 170))
+    want = np.stack([int_ref.mfcc_int(sig[i], CFG) for i in range(2)])
+    got = np.asarray(jax.jit(
+        lambda a: pallas_int.mfcc_int_pallas_v3(a, CFG))(
+            jnp.asarray(sig, jnp.int32)))
+    assert np.array_equal(want, got)
+    wav = reference_wav.astype(np.int64)
+    want_l = int_ref.mfcc_int(wav, CFG)
+    got_l = np.asarray(jax.jit(
+        lambda a: pallas_int.mfcc_int_pallas_v3(a, CFG))(
+            jnp.asarray(wav[None], jnp.int32)))[0]
+    assert np.array_equal(want_l, got_l)
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
 def test_pallas_int_frames_exact(audio_int16):
     """The frames-input kernel (the streaming/serving entry) equals the XLA
     frames path exactly -- leading axes share lane blocks."""
