@@ -128,14 +128,15 @@ def _fb_limb_matrix(cfg: MFCCConfig):
     perm = np.zeros((nbins, cfg.nfilters), dtype=np.int64)
     for r in range(0, size, 2):
         perm[r // 2] = Wnp[_bitrev(r, L)]
-    limbs = np.stack([((perm >> (8 * i)) & 0xFF).T.astype(np.float32)
-                      for i in range(4)])          # (4, ntap, nbins)
-    # 8-bit limbs are exact in bf16 (8 mantissa bits hold integers to 256)
-    # and the per-output partial sums stay < 2^24 (asserted), so the limb
-    # matmuls run as SINGLE-pass bf16 MXU ops with exact f32 accumulation
-    assert int((255 * limbs.sum(axis=2)).max()) < (1 << 24), \
-        "limb partial sum would exceed f32 integer exactness"
-    return limbs.astype(jnp.bfloat16), shift
+    # 7-bit limbs in int8: the MXU's int8 path runs at 2x the bf16 rate
+    # and accumulates exactly in int32 (products < 127*127*nbins ~ 2^22 --
+    # no partial-sum ceiling to respect).  Weights are non-negative
+    # integers, so base-128 digits fit int8 natively with no offset trick.
+    wbits = max(1, int(perm.max()).bit_length())
+    n_w = -(-wbits // 7)
+    limbs = np.stack([((perm >> (7 * i)) & 0x7F).T.astype(np.int8)
+                      for i in range(n_w)])        # (n_w, ntap, nbins)
+    return limbs, shift
 
 
 @functools.lru_cache(maxsize=None)
@@ -280,20 +281,22 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     s = wr_e * wr_e + wi_e * wi_e
     power = jax.lax.shift_right_logical(s, jnp.int32(2 * 16 - cfg.power_width))
 
-    # 3. integer filterbank: 8-bit limb bf16 matmuls (rows pre-permuted,
-    # conjugate-zero columns dropped; single-pass exact -- _fb_limb_matrix)
-    p_limbs = [((power >> (8 * j)) & 0xFF).astype(jnp.bfloat16)
-               for j in range(4)]
+    # 3. integer filterbank: 7-bit limb int8 MXU matmuls (rows
+    # pre-permuted, conjugate-zero columns dropped -- _fb_limb_matrix);
+    # int8 runs at 2x the bf16 rate and int32 accumulation is exact
+    n_w = fb_ref.shape[0]
+    n_p = -(-cfg.power_width // 7)
+    p_limbs = [((power >> (7 * j)) & 0x7F).astype(jnp.int8)
+               for j in range(n_p)]
     D = [None, None, None, None]       # base-2^23 digits of S
     need_bits = fb_shift + 16
-    for j in range(4):
-        for i in range(4):
-            sh = 8 * (i + j)
+    for j in range(n_p):
+        for i in range(n_w):
+            sh = 7 * (i + j)
             if sh >= need_bits:
                 continue
             P = jnp.dot(fb_ref[i], p_limbs[j],
-                        preferred_element_type=jnp.float32)
-            P = P.astype(jnp.int32)
+                        preferred_element_type=jnp.int32)
             t = sh % 23
             dd = sh // 23
             lo = (P & ((1 << (23 - t)) - 1)) << t
@@ -472,8 +475,8 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, cfg.nfilters, nfft // 2),
-                         lambda n: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -608,8 +611,8 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, cfg.nfilters, nfft // 2),
-                         lambda n: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -679,8 +682,8 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, cfg.nfilters, nfft // 2),
-                         lambda n: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -747,8 +750,8 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, cfg.nfilters, nfft // 2),
-                         lambda n: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
