@@ -163,7 +163,8 @@ def _wrap16(v):
 
 
 def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
-            zero_imag_stages: int = 0, layout: str = "natural"):
+            zero_imag_stages: int = 0, layout: str = "natural",
+            final_half_only: bool = False):
     """Bit-exact natural-order DIT ladder on (size, lanes) int32 arrays.
     tw_ref: (size, 3*nstages) constant ref, columns [twr | twr+twi | twr-twi]
     (_ladder_packed_constants).
@@ -190,6 +191,21 @@ def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
     rows = jax.lax.broadcasted_iota(jnp.int32, (size, wr.shape[1]), 0)
     for s in range(L):
         d = strides[s]
+        if final_half_only and layout == "evenodd" and s == L - 1:
+            # sigma layout: the last stage's stride IS size/2, so partners
+            # are the two array halves, and only the even-output half (the
+            # non-conjugate bins) is consumed downstream -- compute it with
+            # plain half-slices: no rolls, no selects, half the ops
+            half = size // 2
+            twr_h = tw_ref[half:, s: s + 1]
+            twc1_h = tw_ref[half:, L + s: L + s + 1]
+            twc2_h = tw_ref[half:, 2 * L + s: 2 * L + s + 1]
+            wrh, wih = wr[half:], wi[half:]
+            u = (wrh + wih) * twr_h + bias
+            sb1 = (u - wih * twc1_h) >> (width - 2)
+            sb2 = (u - wrh * twc2_h) >> (width - 2)
+            return (_wrap16((wr[:half] + sb1) >> 1),
+                    _wrap16((wi[:half] + sb2) >> 1))
         twr = tw_ref[:, s: s + 1]
         is_x0 = (rows & d) == 0
         # trace-time twiddle-pattern facts for multiplier-free shortcuts:
@@ -352,6 +368,7 @@ def _int_kernel(win_ref, tw_ref, fb_ref, dtw_ref,
     # sigma row layout: the HOST feeds positions in [evens | odds] order.
     wr, wi = _ladder(win_ref[0], jnp.zeros_like(win_ref[0]),
                      tw_ref, cfg.nfft, layout="evenodd",
+                     final_half_only=True,
                      zero_imag_stages=_zero_imag_stage_count(cfg.nfft))
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                      cfg=cfg, fb_shift=fb_shift, lanes=BF)
@@ -400,6 +417,7 @@ def _int_kernel_v2(xa_ref, xb_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
                              cfg.width)
     wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
+                     final_half_only=True,
                      zero_imag_stages=_zero_imag_stage_count(nfft))
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                      cfg=cfg, fb_shift=fb_shift, lanes=bf)
@@ -540,6 +558,7 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
                              cfg.width)
     wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
+                     final_half_only=True,
                      zero_imag_stages=_zero_imag_stage_count(nfft))
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                      cfg=cfg, fb_shift=fb_shift, lanes=L)
