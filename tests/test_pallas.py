@@ -179,3 +179,20 @@ def test_pallas_radix2(audio_int16, reference_wav):
         lambda a: pallas_mfcc.mfcc_pallas_radix2(a, CFG))(
         jnp.asarray(long[None], jnp.int16)))[0]
     assert np.array_equal(f32, i16)
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_radix2_unbalanced_chunks(reference_wav):
+    """nb=5 blocks -> nchunks=2, nbk=3 (balanced, padded final chunk):
+    exercises the super-block chunking remainder path end-to-end."""
+    from mfcc_tpu.ops import pallas_mfcc
+    T = 512 + (5 * 128 - 1) * 170          # F = 640 frames -> nb = 5
+    sig = reference_wav[:T]
+    assert CFG.n_frames(T) == 640
+    want = float_ref.mfcc_float(sig, CFG)
+    got = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_radix2(a, CFG))(
+        jnp.asarray(sig[None], jnp.float32)))[0]
+    assert want.shape == got.shape
+    assert np.abs(want - got).max() < 5e-4

@@ -111,3 +111,18 @@ def test_pallas_int_frames_exact(audio_int16):
     got = np.asarray(jax.jit(
         lambda f: pallas_int.mfcc_int_pallas_frames(f, CFG))(frames))
     assert np.array_equal(want, got)
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_int_v3_unbalanced_chunks(reference_wav):
+    """nb=5 -> nchunks=2, nbk=3: the padded-final-chunk remainder path of
+    the whole-stream blocking, element-exact vs the RTL oracle."""
+    from mfcc_tpu.ops import pallas_int
+    T = 512 + (5 * 128 - 1) * 170
+    sig = reference_wav[:T].astype(np.int64)
+    want = int_ref.mfcc_int(sig, CFG)
+    got = np.asarray(jax.jit(
+        lambda a: pallas_int.mfcc_int_pallas_v3(a, CFG))(
+        jnp.asarray(sig[None], jnp.int32)))[0]
+    assert np.array_equal(want, got)
