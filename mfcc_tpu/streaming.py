@@ -114,6 +114,73 @@ def _chunk_step(chunk, state: StreamState, reset, cfg: MFCCConfig,
     return frames, mask, new_state
 
 
+def _barrel_align(buf: jnp.ndarray, start: jnp.ndarray, out_len: int,
+                  max_start: int) -> jnp.ndarray:
+    """Gather-free per-row dynamic alignment:
+    ``out[s, j] = buf[s, start[s] + j]`` for ``start[s] in [0, max_start]``.
+
+    TPU minor-dim gathers with row-varying starts are catastrophically slow
+    (a vmapped dynamic-slice frame gather measured ~56 ms for 4096x1.5k f32;
+    take_along_axis 200 ms), so the shift is synthesized as a BARREL
+    SHIFTER: ceil(log2(max_start+1)) rounds of static roll + per-row select
+    -- pure elementwise ops that XLA fuses, ~2 passes over the buffer
+    total.  Requires ``max_start + out_len <= buf.shape[1]`` so circular
+    wraparound never contaminates the window."""
+    assert max_start + out_len <= buf.shape[1], "barrel window would wrap"
+    nbits = max(1, int(np.ceil(np.log2(max_start + 1)))) \
+        if max_start > 0 else 0
+    x = buf
+    for b in range(nbits):
+        sh = 1 << b
+        shifted = jnp.concatenate([x[:, sh:], x[:, :sh]], axis=1)
+        bit = ((start >> b) & 1)[:, None] != 0
+        x = jnp.where(bit, shifted, x)
+    return x[:, :out_len]
+
+
+def _chunk_step_batch(chunks, state: StreamState, reset, cfg: MFCCConfig,
+                      emphasize, dtype, lengths=None):
+    """Batch form of _chunk_step over (S, C) chunks: same semantics and
+    bit-identical valid frames / carry, but the per-stream dynamic frame
+    gather is replaced by one barrel alignment (see _barrel_align).
+
+    ``lengths=None`` is the full-chunk fast path: the carry slice is then
+    STATIC (buf[:, C:C+P]); per-stream lengths go through a second barrel
+    pass (the flush path)."""
+    S, C = chunks.shape
+    nfft, hop = cfg.nfft, cfg.hop
+    wl = cfg.windowlen
+    P = wl - 1
+    F = max_frames_per_chunk(C, cfg)
+    count = jnp.where(reset, 0, state.count)
+    prev = jnp.where(reset, jnp.zeros_like(state.prev), state.prev)
+    emph = emphasize(chunks, prev).astype(dtype)
+    buf = jnp.concatenate([state.buffer, emph], axis=1)      # (S, P + C)
+    start0 = P - count
+    need = (F - 1) * hop + wl
+    pad = max(0, need + P - buf.shape[1])
+    aligned = _barrel_align(jnp.pad(buf, ((0, 0), (0, pad))),
+                            start0, need, max_start=P)
+    frames = framing.extract_frames(aligned, nfft, hop, wl)  # (S, F, nfft)
+    if lengths is None:
+        total = count + C
+        new_buffer = buf[:, C: C + P]                        # static slice
+        new_prev = chunks[:, -1].astype(state.prev.dtype)
+    else:
+        L = lengths.astype(jnp.int32)
+        total = count + L
+        new_buffer = _barrel_align(buf, L, P, max_start=C)
+        li = jnp.maximum(L - 1, 0)
+        last = jnp.take_along_axis(chunks, li[:, None], axis=1)[:, 0]
+        new_prev = jnp.where(L > 0, last, prev).astype(state.prev.dtype)
+    n_valid = jnp.maximum((total - wl) // hop + 1, 0)
+    mask = jnp.arange(F, dtype=jnp.int32)[None, :] < n_valid[:, None]
+    new_count = (total - n_valid * hop).astype(jnp.int32)
+    new_state = StreamState(buffer=new_buffer, count=new_count,
+                            prev=new_prev)
+    return frames, mask, new_state
+
+
 class StreamingMFCC:
     """Multi-stream streaming front-end.
 
@@ -148,24 +215,30 @@ class StreamingMFCC:
 
         step_dtype = self.dtype
 
-        def step(chunks, state, reset, lengths):
-            frames, mask, new_state = jax.vmap(
-                lambda c, s_b, s_c, s_p, r, l: _chunk_step(
-                    c, StreamState(s_b, s_c, s_p), r, cfg, emphasize,
-                    step_dtype, length=l)
-            )(chunks, state.buffer, state.count, state.prev, reset, lengths)
-            feats = features(frames)
-            return feats, mask, StreamState(*new_state)
+        def step_full(chunks, state, reset):
+            frames, mask, new_state = _chunk_step_batch(
+                chunks, state, reset, cfg, emphasize, step_dtype)
+            return features(frames), mask, new_state
 
+        def step_len(chunks, state, reset, lengths):
+            frames, mask, new_state = _chunk_step_batch(
+                chunks, state, reset, cfg, emphasize, step_dtype,
+                lengths=lengths)
+            return features(frames), mask, new_state
+
+        jit_full, jit_len = jax.jit(step_full), jax.jit(step_len)
         if int_path and not int_ops._fb_int32_layout_ok(cfg):
-            _jit = jax.jit(step)
-
             def step_x64(chunks, state, reset, lengths):
                 with jax.enable_x64():
-                    return _jit(chunks, state, reset, lengths)
+                    if lengths is None:
+                        return jit_full(chunks, state, reset)
+                    return jit_len(chunks, state, reset, lengths)
             self._step = step_x64
         else:
-            self._step = jax.jit(step)
+            self._step = (lambda chunks, state, reset, lengths:
+                          jit_full(chunks, state, reset)
+                          if lengths is None
+                          else jit_len(chunks, state, reset, lengths))
 
     def init(self, n_streams: int) -> StreamState:
         return init_state(n_streams, self.cfg, self.dtype)
@@ -185,10 +258,9 @@ class StreamingMFCC:
         S, C = chunks.shape
         if reset is None:
             reset = jnp.zeros((S,), bool)
-        if lengths is None:
-            lengths = jnp.full((S,), C, jnp.int32)
-        return self._step(chunks, state, jnp.asarray(reset, bool),
-                          jnp.asarray(lengths, jnp.int32))
+        if lengths is not None:
+            lengths = jnp.asarray(lengths, jnp.int32)
+        return self._step(chunks, state, jnp.asarray(reset, bool), lengths)
 
     def drain(self, state: StreamState):
         """Flush the carry: zero-pad each stream's residual samples so every
