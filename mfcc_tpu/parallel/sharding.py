@@ -111,14 +111,13 @@ def streaming_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
 
     def step(chunks, state, reset, lengths=None):
         chunks = jax.lax.with_sharding_constraint(chunks, sm_axes2)
-        if lengths is None:
-            lengths = jnp.full((chunks.shape[0],), chunks.shape[1], jnp.int32)
-        frames, mask, new_state = jax.vmap(
-            lambda c, b, ct, p, r, l: streaming._chunk_step(
-                c, streaming.StreamState(b, ct, p), r, cfg,
-                emphasize, step_dtype, length=l)
-        )(chunks, state.buffer, state.count, state.prev, reset, lengths)
+        # batch barrel-aligned step (streaming._chunk_step_batch): all ops
+        # are elementwise/static over the dp-sharded stream axis, so the
+        # sharding propagates with no collectives
+        frames, mask, new_state = streaming._chunk_step_batch(
+            chunks, state, reset, cfg, emphasize, step_dtype,
+            lengths=lengths)
         feats = features(frames)
-        return feats, mask, streaming.StreamState(*new_state)
+        return feats, mask, new_state
 
     return jax.jit(step, static_argnames=())

@@ -56,64 +56,6 @@ def max_frames_per_chunk(chunk_size: int, cfg: MFCCConfig) -> int:
     return (chunk_size - 1) // cfg.hop + 1
 
 
-def _gather_frames(buf: jnp.ndarray, start0: jnp.ndarray, n_frames: int,
-                   nfft: int, hop: int) -> jnp.ndarray:
-    """n_frames dynamic slices of length nfft starting at start0 + k*hop.
-    buf: (L,), start0: scalar -> (n_frames, nfft)."""
-    starts = start0 + hop * jnp.arange(n_frames, dtype=jnp.int32)
-    # clamp so padding frames read in-bounds (they are masked out)
-    starts = jnp.minimum(starts, buf.shape[0] - nfft)
-    return jax.vmap(
-        lambda s: jax.lax.dynamic_slice_in_dim(buf, s, nfft))(starts)
-
-
-def _chunk_step(chunk, state: StreamState, reset, cfg: MFCCConfig,
-                emphasize, dtype, length=None):
-    """One chunk for one stream: returns (frames, mask, new_state).
-
-    chunk: (C,) raw samples; reset: scalar bool (the 0x80000000 protocol:
-    reset is consumed BEFORE the chunk's samples, like the control word
-    preceding the data words in software/main.c:107-151).
-
-    length: optional scalar int32 in [0, C] -- only the first ``length``
-    samples are real, the rest is padding (for flushing a final partial
-    chunk without recompiling for a new shape; the padding never reaches the
-    carry state or a valid frame)."""
-    C = chunk.shape[0]
-    nfft, hop = cfg.nfft, cfg.hop
-    wl = cfg.windowlen                  # frame completes after wl samples
-    P = wl - 1
-    F = max_frames_per_chunk(C, cfg)
-    L = jnp.int32(C) if length is None else length.astype(jnp.int32)
-
-    count = jnp.where(reset, 0, state.count)
-    prev = jnp.where(reset, jnp.zeros_like(state.prev), state.prev)
-    buffer = state.buffer  # stale contents are invalidated by count=0
-
-    # emph[i] for i < L depends only on chunk[:L] and prev, so padding
-    # samples never contaminate the real prefix
-    emph = emphasize(chunk[None, :], prev[None])[0].astype(dtype)
-    buf = jnp.concatenate([buffer, emph])          # (P + C,)
-    start0 = P - count                              # first unframed sample
-
-    total = count + L
-    n_valid = jnp.maximum((total - wl) // hop + 1, 0)
-    frames = _gather_frames(buf, start0, F, wl, hop)
-    if wl < nfft:                       # Frame's zero-pad mode (frame.py:77)
-        frames = jnp.pad(frames, ((0, 0), (0, nfft - wl)))
-    mask = jnp.arange(F, dtype=jnp.int32) < n_valid
-
-    new_count = total - n_valid * hop               # always <= nfft-1
-    # right-align the carry at the end of REAL data: buf[L : L+P]
-    new_buffer = jax.lax.dynamic_slice_in_dim(buf, L, P)
-    new_prev = jnp.where(
-        L > 0, chunk[jnp.maximum(L - 1, 0)], prev).astype(state.prev.dtype)
-    new_state = StreamState(buffer=new_buffer,
-                            count=new_count.astype(jnp.int32),
-                            prev=new_prev)
-    return frames, mask, new_state
-
-
 def _barrel_align(buf: jnp.ndarray, start: jnp.ndarray, out_len: int,
                   max_start: int) -> jnp.ndarray:
     """Gather-free per-row dynamic alignment:
@@ -140,9 +82,12 @@ def _barrel_align(buf: jnp.ndarray, start: jnp.ndarray, out_len: int,
 
 def _chunk_step_batch(chunks, state: StreamState, reset, cfg: MFCCConfig,
                       emphasize, dtype, lengths=None):
-    """Batch form of _chunk_step over (S, C) chunks: same semantics and
-    bit-identical valid frames / carry, but the per-stream dynamic frame
-    gather is replaced by one barrel alignment (see _barrel_align).
+    """One chunk step over (S, C) batched chunks: consumes per-stream reset
+    flags (the 0x80000000 protocol -- reset applies BEFORE the chunk's
+    samples, like the control word preceding data words in
+    software/main.c:107-151), emits every completed frame plus a validity
+    mask, and right-aligns the carry.  The per-stream dynamic frame
+    alignment is one barrel pass (see _barrel_align).
 
     ``lengths=None`` is the full-chunk fast path: the carry slice is then
     STATIC (buf[:, C:C+P]); per-stream lengths go through a second barrel
