@@ -937,6 +937,15 @@ def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
                 Eev[:he, lane: lane + bf]
             fbuf2[p0 // 2: p0 // 2 + ho, L + b * bf: L + (b + 1) * bf] = \
                 Eod[:ho, lane: lane + bf]
+    out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
+                              tws_ref, mela_ref, melb_ref, dct_ref, L)
+
+
+def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
+                 mela_ref, melb_ref, dct_ref, L):
+    """Shared radix-2 pipeline tail on a [evens | odds] frame scratch
+    (nfft/2, 2L): window -> one split-DFT matmul -> twiddle recombination
+    -> power -> permuted-mel -> log2 -> DCT.  Returns (ncep, L)."""
     fbuf2[:, :L] = fbuf2[:, :L] * we_ref[:]
     fbuf2[:, L:] = fbuf2[:, L:] * wo_ref[:]
     eo = jnp.dot(csp_ref[:], fbuf2[:],
@@ -958,9 +967,64 @@ def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST))
     logmel = jnp.log2(melspec)
-    out_ref[0] = jnp.dot(dct_ref[:], logmel,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(dct_ref[:], logmel,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _mfcc_frames_float_kernel(x_ref, csp_ref, we_ref, wo_ref, twc_ref,
+                              tws_ref, mela_ref, melb_ref, dct_ref,
+                              out_ref, fbuf2, *, nfft, bf):
+    """(1, nfft, bf) pre-emphasized positions-major frames -> (ncep, bf):
+    the radix-2 pipeline tail without framing (the streaming/serving entry,
+    mirroring pallas_int.mfcc_int_pallas_frames)."""
+    x = x_ref[0]
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    xs = x.reshape(nfft // 2, 2, bf)
+    fbuf2[:, :bf] = xs[:, 0]
+    fbuf2[:, bf:] = xs[:, 1]
+    out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
+                              tws_ref, mela_ref, melb_ref, dct_ref, bf)
+
+
+def mfcc_pallas_frames_float(frames: jnp.ndarray,
+                             cfg: MFCCConfig = MFCCConfig()) -> jnp.ndarray:
+    """Fused float pipeline on pre-emphasized FRAMES:
+    (..., F, nfft) -> (..., F, nceptrums), f32-HIGHEST.
+
+    The streaming/serving entry point: all leading axes flatten into the
+    kernel's frame-lane axis so many streams' few-frame chunks fill
+    128-lane blocks together (the XLA mfcc_frames chain measured ~25x
+    slower per frame than the fused batch kernel)."""
+    assert cfg.windowlen == cfg.nfft, \
+        "frames kernel expects full-length frames"
+    lead = frames.shape[:-2]
+    F_in = frames.shape[-2]
+    nfft, ncep = cfg.nfft, cfg.nceptrums
+    x = frames.reshape(-1, nfft)
+    M = x.shape[0]
+    nblocks = max(1, -(-M // BF))
+    Mp = nblocks * BF
+    if Mp > M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    xT = x.reshape(nblocks, BF, nfft).swapaxes(-1, -2)   # (nb, nfft, BF)
+
+    consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
+    out = pl.pallas_call(
+        functools.partial(_mfcc_frames_float_kernel, nfft=nfft, bf=BF),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((1, nfft, BF), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
+                               memory_space=pltpu.VMEM) for a in consts],
+        out_specs=pl.BlockSpec((1, ncep, BF), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, ncep, BF), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nfft // 2, 2 * BF), jnp.float32)],
+    )(xT, *consts)
+    out = out.swapaxes(-1, -2).reshape(Mp, ncep)[:M]
+    return out.reshape(lead + (F_in, ncep))
 
 
 def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),

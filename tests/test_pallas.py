@@ -196,3 +196,21 @@ def test_pallas_radix2_unbalanced_chunks(reference_wav):
         jnp.asarray(sig[None], jnp.float32)))[0]
     assert want.shape == got.shape
     assert np.abs(want - got).max() < 5e-4
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_frames_float(audio_int16, reference_wav):
+    """The float frames kernel (streaming/serving entry) matches the XLA
+    mfcc_frames chain within the f32 gate on real speech, including a
+    ragged (non-multiple-of-128) frame count."""
+    from mfcc_tpu.ops import pallas_mfcc, float_ops, framing
+    sig = reference_wav[: 512 + 186 * 170].astype(np.float32)
+    emph = framing.preemphasis(jnp.asarray(sig)[None])
+    frames = framing.extract_frames(emph, CFG.nfft, CFG.hop)   # (1, 187, 512)
+    want = np.asarray(jax.jit(
+        lambda f: float_ops.mfcc_frames(f, CFG))(frames))
+    got = np.asarray(jax.jit(
+        lambda f: pallas_mfcc.mfcc_pallas_frames_float(f, CFG))(frames))
+    assert want.shape == got.shape
+    assert np.abs(want - got).max() < 5e-4
