@@ -336,13 +336,14 @@ def cmd_selftest(args) -> int:
     # fused kernels (TPU only) -- the shipped bench winners
     if jax.default_backend() == "tpu":
         from .ops import pallas_mfcc, pallas_int
-        pk = np.asarray(jax.jit(lambda a: pallas_mfcc.mfcc_pallas_recomp(
-            a, cfg, split=False))(sig[None].astype(np.float32)))[0]
-        check("fused float kernel (recomp f32) vs float64 oracle",
+        pk = np.asarray(jax.jit(lambda a: pallas_mfcc.mfcc_pallas_radix2(
+            a, cfg))(sig[None].astype(np.float32)))[0]
+        check("fused float kernel (radix-2 split-DFT) vs float64 oracle",
               float(np.abs(want_f - pk).max()) < 5e-4)
-        ik = np.asarray(jax.jit(lambda a: pallas_int.mfcc_int_pallas_v2(
+        ik = np.asarray(jax.jit(lambda a: pallas_int.mfcc_int_pallas_v3(
             a, cfg))(sig[None].astype(np.int32)))[0]
-        check("fused INT kernel v2 bit-exact", np.array_equal(want_int, ik))
+        check("fused INT kernel v3 (sigma ladder) bit-exact",
+              np.array_equal(want_int, ik))
 
     print("SELFTEST", "PASS" if ok else "FAIL")
     return 0 if ok else 1
