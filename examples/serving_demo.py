@@ -67,6 +67,9 @@ def main():
     print(f"{n_clients} concurrent streams x {seconds:.1f} s audio "
           f"({total_frames} frames) served in {dt:.2f} s "
           f"= {audio_s / dt:.1f}x real time on the serving path")
+    print("(a tiny-batch protocol demo, dominated by per-dispatch "
+          "overhead; the dispatch-amortized step sustains tens of "
+          "thousands of real-time streams -- docs/BENCH.md round 2f)")
     srv.stop()
 
 
