@@ -81,3 +81,13 @@ def test_windowlen_zero_pad_mode(audio_int16):
     outf = np.asarray(MFCC(cfg)(sig.astype(np.float32)))
     assert outf.shape == want.shape
     assert np.isfinite(outf).all()
+
+
+def test_mic_config_float_kernel_parity(audio_int16):
+    """Float path at the mic config (16 cepstra) -- on TPU this routes
+    through the radix-2 kernel with a non-default output height."""
+    sig = audio_int16.astype(np.float32)
+    want = float_ref.mfcc_float(sig, MIC_CONFIG)
+    got = np.asarray(MFCC(MIC_CONFIG)(sig))
+    assert want.shape == got.shape == (5, 16)
+    assert np.abs(want - got).max() < 5e-4
