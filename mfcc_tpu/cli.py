@@ -28,6 +28,15 @@ def _fe(args):
     return MFCC(cfg), cfg
 
 
+def _cli_device(backend: str):
+    """'cpu' -> the host CPU device (the 1-stream CLI default: starts in
+    seconds, no remote kernel compile); 'default' -> ambient backend."""
+    if backend == "default":
+        return None
+    import jax
+    return jax.devices("cpu")[0]
+
+
 def cmd_convert(args) -> int:
     """Recursive wav -> .mfcc conversion (int16), batched onto the TPU.
 
@@ -81,7 +90,8 @@ def cmd_stream(args) -> int:
     words = np.frombuffer(data, dtype="<u4")
     samples, resets, trailing = transport.decode_stream(words)
 
-    sm = StreamingMFCC(cfg, int_path=not args.float)
+    sm = StreamingMFCC(cfg, int_path=not args.float,
+                       device=_cli_device(args.backend))
     state = sm.init(1)
     out = sys.stdout.buffer if args.outfile == "-" else open(args.outfile, "wb")
     C = args.chunk
@@ -124,7 +134,8 @@ def cmd_mic(args) -> int:
     from .config import MFCCConfig
 
     cfg = MFCCConfig(nceptrums=args.ncep)
-    sm = StreamingMFCC(cfg, int_path=not args.float)
+    sm = StreamingMFCC(cfg, int_path=not args.float,
+                       device=_cli_device(args.backend))
     state = sm.init(1)
     out = sys.stdout.buffer if args.outfile == "-" else open(args.outfile, "wb")
     C = args.chunk
@@ -408,6 +419,10 @@ def main(argv=None) -> int:
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--ncep", type=int, default=16)
     p.add_argument("--float", action="store_true")
+    p.add_argument("--backend", choices=("cpu", "default"), default="cpu",
+                   help="where the 1-stream pipeline runs (default: host "
+                        "CPU -- instant start; 'default' uses the ambient "
+                        "JAX backend, e.g. the TPU)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("mic", help="live microphone -> framed features")
@@ -422,6 +437,10 @@ def main(argv=None) -> int:
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--ncep", type=int, default=16)
     p.add_argument("--float", action="store_true")
+    p.add_argument("--backend", choices=("cpu", "default"), default="cpu",
+                   help="where the 1-stream pipeline runs (default: host "
+                        "CPU -- instant start; 'default' uses the ambient "
+                        "JAX backend, e.g. the TPU)")
     p.set_defaults(fn=cmd_mic)
 
     p = sub.add_parser("recv", help="decode framed feature stream")

@@ -46,6 +46,16 @@ from . import framing
 BF = 128  # frames per block (MXU-aligned row count)
 
 
+def pallas_float_supported(cfg: MFCCConfig) -> bool:
+    """The fused float kernels hardcode the 512-point operator geometry
+    (272/136-row split-DFT halves, hop-row tile layouts); any other frame
+    geometry must use the XLA formulations (which honor arbitrary nfft/hop).
+    Mirrors pallas_int.pallas_int_supported (round-2 ADVICE, medium)."""
+    import jax as _jax
+    return (_jax.default_backend() == "tpu" and cfg.nfft == 512
+            and cfg.windowlen == cfg.nfft)
+
+
 @functools.lru_cache(maxsize=None)
 def _kernel_operators(cfg: MFCCConfig):
     """(CS, mel, dct) numpy f32 operators with 256 bins (no Nyquist)."""
@@ -881,6 +891,9 @@ def _radix2_operators(cfg: MFCCConfig):
                        128 is already covered by A)
       dct_t (ncep, 32)
     """
+    assert cfg.nfft == 512, \
+        "radix-2 split operators hardcode the 512-point geometry " \
+        "(gate with pallas_float_supported)"
     nfft = cfg.nfft
     nh = nfft // 2
     nq = nfft // 4 + 1

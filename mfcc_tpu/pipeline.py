@@ -47,11 +47,10 @@ class MFCC:
         # default whenever the caller asked for the default spec; any
         # explicit method/precision/dtype/mel_floor choice is honored via
         # the XLA formulations, as are non-default frame geometries
+        from .ops import pallas_mfcc
         if (method == "dft" and precision == "highest"
                 and dtype == jnp.float32 and mel_floor == 0.0
-                and jax.default_backend() == "tpu"
-                and cfg.windowlen == cfg.nfft):
-            from .ops import pallas_mfcc
+                and pallas_mfcc.pallas_float_supported(cfg)):
             kern = (pallas_mfcc.mfcc_pallas_radix2 if cfg.hop % 2 == 0
                     else pallas_mfcc.mfcc_pallas_recomp_t)
             float_batch = functools.partial(kern, cfg=cfg)
