@@ -31,6 +31,9 @@ class MFCCConfig:
     window_samples: Optional[int] = None  # real samples per frame; < nfft
     #   zero-pads positions >= window_samples (Frame's windowlen < nfft mode,
     #   mfcc/core/frame.py:77,120); None = nfft (every reference target)
+    step: Optional[int] = None  # frame step; None = nfft//3 (the reference
+    #   targets' choice, mfcc/core/mfcc.py:43).  Frame itself accepts any
+    #   stepsize (mfcc/core/frame.py:49-58), e.g. 160 for a 10 ms hop.
 
     # Fixed-point parameters (INT path) --------------------------------------
     window_precision: int = 8   # quarter-LUT bit precision (mfcc.py:49)
@@ -38,10 +41,36 @@ class MFCCConfig:
     filter_gain: int = 18       # FilterBank gain (mfcc.py:72)
     log_width_output: int = 15  # Log2Fix output width (mfcc.py:82)
 
+    def __post_init__(self):
+        if self.step is not None and not 1 <= self.step <= self.windowlen:
+            raise ValueError(
+                f"step={self.step} must be in [1, windowlen={self.windowlen}]"
+                " (Frame consumes stepsize new samples per frame,"
+                " mfcc/core/frame.py:86-91)")
+
     @property
     def hop(self) -> int:
-        """Frame step.  stepsize = nfft//3 (mfcc/core/mfcc.py:43)."""
-        return self.nfft // 3
+        """Frame step: ``step`` if set, else nfft//3 (mfcc/core/mfcc.py:43)."""
+        return self.step if self.step is not None else self.nfft // 3
+
+    def validate_int(self) -> None:
+        """Raise if the fixed-point parameters are inconsistent -- silent
+        wrong numerics otherwise (round-2 VERDICT weak item 6).
+
+        The sample datapath honors ``width`` (window truncation, butterfly
+        wrap, power shift); the filterbank output width and the log2 input
+        width are ARCHITECTURAL constants of the reference pipeline (16,
+        hardcoded at mfcc/core/mfcc.py:69,82 independently of ``width``)."""
+        if self.width > 16:
+            raise ValueError(
+                f"width={self.width} > 16: the int32 wraparound exactness "
+                "argument (int_ops.py module docstring) needs "
+                "34 - width >= width + 1, i.e. width <= 16")
+        if 2 * self.width < self.power_width:
+            raise ValueError(
+                f"power_width={self.power_width} > 2*width={2 * self.width}: "
+                "PowerSpectrum keeps the TOP power_width bits of a "
+                "2*width-bit field (mfcc/core/pow2.py:33,64)")
 
     @property
     def windowlen(self) -> int:
@@ -64,11 +93,15 @@ class MFCCConfig:
 
     @property
     def log_precision(self) -> int:
-        """Fraction bits of the fixed-point log2.
-        precision = width_output - ceil(log2(width)) (mfcc/core/log.py:114);
-        for Log2Fix(16, 15) this is 11 -> Q4.11 output."""
+        """Fraction bits of the fixed-point log2:
+        precision = width_output - ceil(log2(w_in)) (mfcc/core/log.py:114),
+        where w_in is Log2Fix's INPUT width = the filterbank's output width.
+        That is an ARCHITECTURAL constant 16 -- the reference hardcodes
+        FilterBank(width_output=16) and Log2Fix(filterbank.width_output, 15)
+        (mfcc/core/mfcc.py:69,82) independently of the sample ``width`` --
+        so for Log2Fix(16, 15) this is 11 -> Q4.11 output."""
         import math
-        return self.log_width_output - math.ceil(math.log2(16))
+        return self.log_width_output - math.ceil(math.log2(FILTERBANK_WIDTH))
 
     @property
     def filter_wsize(self) -> int:
@@ -85,6 +118,12 @@ class MFCCConfig:
             return 0
         return (n_samples - self.windowlen) // self.hop + 1
 
+
+# Architectural constant: the mel filterbank's output width == the log2
+# stage's input width, hardcoded by the reference top-level independently of
+# the sample width (FilterBank(width_output=16) at mfcc/core/mfcc.py:69,
+# Log2Fix(filterbank.width_output, 15) at mfcc/core/mfcc.py:82).
+FILTERBANK_WIDTH = 16
 
 # Host transport protocol constants (see mfcc_tpu/io/transport.py) -----------
 RESET_WORD = 0x80000000   # soft-reset control word (software/main.c:21-34)

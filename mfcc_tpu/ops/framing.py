@@ -30,16 +30,17 @@ def preemphasis(x: jnp.ndarray, carry: jnp.ndarray | None = None) -> jnp.ndarray
     return x - EMPHASIS_COEFF * prev
 
 
-def preemphasis_int(x: jnp.ndarray, carry: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Fixed-point pre-emphasis: y = wrap16(x + (prev >> 5) - prev)
-    (mfcc/core/preemph.py:23).  x int32 holding int16-range samples."""
+def preemphasis_int(x: jnp.ndarray, carry: jnp.ndarray | None = None,
+                    width: int = 16) -> jnp.ndarray:
+    """Fixed-point pre-emphasis: y = wrap_w(x + (prev >> 5) - prev)
+    (mfcc/core/preemph.py:23).  x int32 holding width-bit-range samples."""
     if carry is None:
         prev = jnp.concatenate(
             [jnp.zeros(x.shape[:-1] + (1,), x.dtype), x[..., :-1]], axis=-1)
     else:
         prev = jnp.concatenate([carry[..., None], x[..., :-1]], axis=-1)
     y = x + (prev >> 5) - prev
-    return wrap_signed(y, 16)
+    return wrap_signed(y, width)
 
 
 def wrap_signed(v: jnp.ndarray, bits: int) -> jnp.ndarray:

@@ -257,6 +257,43 @@ def log2fix_int(data: jnp.ndarray, width: int = 16,
     return res & ((1 << width_output) - 1)
 
 
+def log2fixcalc_int(x: jnp.ndarray, width: int, precision: int,
+                    allow_fraction_input: bool = False) -> jnp.ndarray:
+    """Branch-free twin of the raw ``Log2FixCalc`` FSM (mfcc/core/log.py:8-102)
+    including its SHIFT-LEFT fraction-input mode (log.py:47-55), which no
+    reference target instantiates (Log2Fix always feeds ``data << precision``
+    so the input is never below 2^precision) but the component offers.
+
+    ``x`` is the ALREADY-SHIFTED register value.  In fraction mode, inputs in
+    [1, 2^precision) are normalized UP, each left shift subtracting
+    2^precision from the (width-bit, wrapping) result register -- negative
+    log2 exponents.  Without fraction mode such inputs pass through the
+    SHIFT-RIGHT state unnormalized, exactly as the RTL would.  Input domain
+    x >= 1: the raw FSM would never leave SHIFT-LEFT on 0 (Log2Fix clamps
+    0 -> 1 upstream, log.py:123-126).  Returns the raw width-bit register
+    value (unsigned)."""
+    assert precision <= 14, "z*z must stay exact in int32"
+    d = x.astype(jnp.int32)
+    # floor(log2(d)) via thresholds over the width-bit range
+    shifts = jnp.zeros_like(d)
+    for j in range(1, width):
+        shifts = shifts + (d >= (1 << j)).astype(jnp.int32)
+    e = shifts - precision                 # net normalize exponent
+    if not allow_fraction_input:
+        e = jnp.maximum(e, 0)
+    z = jnp.where(e >= 0, d >> jnp.maximum(e, 0),
+                  d << jnp.maximum(-e, 0))
+    res = e << precision
+    b = 1 << (precision - 1)
+    for _ in range(precision - 1):
+        c = z * z
+        hi = (c >> (2 * precision + 1)) & 1
+        res = res + jnp.where(hi == 1, b, 0)
+        z = jnp.where(hi == 1, c >> (precision + 1), c >> precision)
+        b >>= 1
+    return res & ((1 << width) - 1)
+
+
 # ---------------------------------------------------------------------------
 # DCT via 4N FFT (mfcc/core/dct_stream.py:29-37)
 # ---------------------------------------------------------------------------
@@ -294,14 +331,20 @@ def mfcc_int_frames(frames: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
     (..., F, nfft) int32 -> (..., F, nceptrums) int32 (int16-range values).
 
     Runs entirely in int32/f32 (no x64 needed) for the default config
-    family; falls back to the int64 filterbank otherwise."""
+    family; falls back to the int64 filterbank otherwise.  The sample
+    datapath honors cfg.width (validated consistent); the filterbank output
+    / log2 input width is the reference's architectural constant
+    (config.FILTERBANK_WIDTH, mfcc/core/mfcc.py:69,82)."""
+    from ..config import FILTERBANK_WIDTH
+    cfg.validate_int()
     win = window_int(frames, cfg.nfft, cfg.window_precision, cfg.width)
     re, im = fft_stream_int(win, cfg.width)
     power = power_int(re, im, cfg.width, cfg.power_width)
     fb = filterbank_int32 if _fb_int32_layout_ok(cfg) else filterbank_int
     mel = fb(power, cfg.samplerate, cfg.nfft, cfg.nfilters,
-             cfg.filter_wsize, cfg.filter_gain, 16, cfg.power_width)
-    logmel = log2fix_int(mel, 16, cfg.log_width_output)
+             cfg.filter_wsize, cfg.filter_gain, FILTERBANK_WIDTH,
+             cfg.power_width)
+    logmel = log2fix_int(mel, FILTERBANK_WIDTH, cfg.log_width_output)
     cep = dct_int(logmel, cfg.width)
     return cep[..., : cfg.nceptrums]
 
@@ -311,7 +354,7 @@ def mfcc_int_batch(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
     """Full INT pipeline on raw int16-range signals:
     (..., T) int32 -> (..., F, nceptrums) int32."""
     from .framing import extract_frames
-    emph = preemphasis_int(audio.astype(jnp.int32))
+    emph = preemphasis_int(audio.astype(jnp.int32), width=cfg.width)
     frames = extract_frames(emph, cfg.nfft, cfg.hop,
                             windowlen=cfg.windowlen)
     return mfcc_int_frames(frames, cfg)

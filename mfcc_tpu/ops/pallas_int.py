@@ -565,7 +565,8 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
 
 
 def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
-                       *, bf: int = BF) -> jnp.ndarray:
+                       *, bf: int = BF,
+                       interpret: bool = False) -> jnp.ndarray:
     """Fused bit-exact INT pipeline, v3: v2's in-kernel pre-emphasis /
     framing / windowing plus whole-stream super-blocks (the float radix-2
     kernel's blocking).  (S, T) int16-range -> (S, F, nceptrums) int32."""
@@ -642,6 +643,7 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
             pltpu.VMEM((nfft, L), jnp.int32),
             pltpu.VMEM((n4, L), jnp.int32),
         ],
+        interpret=interpret,
     )(T4, T4, prevs, jnp.asarray(wincol), jnp.asarray(tw),
       jnp.asarray(fb_limbs), jnp.asarray(dtw))
 
@@ -662,7 +664,8 @@ def pallas_int_supported(cfg: MFCCConfig) -> bool:
 
 
 def mfcc_int_pallas_frames(frames: jnp.ndarray,
-                           cfg: MFCCConfig = MFCCConfig()) -> jnp.ndarray:
+                           cfg: MFCCConfig = MFCCConfig(), *,
+                           interpret: bool = False) -> jnp.ndarray:
     """Fused bit-exact INT pipeline on pre-emphasized FRAMES:
     (..., F, nfft) int32 -> (..., F, nceptrums) int32.
 
@@ -713,6 +716,7 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((n4, BF), jnp.int32),
         ],
+        interpret=interpret,
     )(winT, jnp.asarray(tw), jnp.asarray(fb_limbs),
       jnp.asarray(dtw))
 

@@ -775,7 +775,8 @@ def _mfcc_recomp_t_kernel(xa_ref, xb_ref, prev_ref, cs_ref, mel_ref, dct_ref,
 
 
 def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
-                         *, bf: int = BF) -> jnp.ndarray:
+                         *, bf: int = BF,
+                         interpret: bool = False) -> jnp.ndarray:
     """Fused transposed-recomposition kernel on RAW audio:
     (..., T) -> (..., F, nceptrums).  f32-HIGHEST throughout.
 
@@ -841,6 +842,7 @@ def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
         scratch_shapes=[
             pltpu.VMEM((nfft, bf), jnp.float32),
         ],
+        interpret=interpret,
     )(TT, TT, prevs, jnp.asarray(cs_t), jnp.asarray(mel_t),
       jnp.asarray(dct_t))
     out = out.swapaxes(-1, -2).reshape(S, Fp, ncep)[:, :F]
@@ -1002,7 +1004,8 @@ def _mfcc_frames_float_kernel(x_ref, csp_ref, we_ref, wo_ref, twc_ref,
 
 
 def mfcc_pallas_frames_float(frames: jnp.ndarray,
-                             cfg: MFCCConfig = MFCCConfig()) -> jnp.ndarray:
+                             cfg: MFCCConfig = MFCCConfig(), *,
+                             interpret: bool = False) -> jnp.ndarray:
     """Fused float pipeline on pre-emphasized FRAMES:
     (..., F, nfft) -> (..., F, nceptrums), f32-HIGHEST.
 
@@ -1035,13 +1038,15 @@ def mfcc_pallas_frames_float(frames: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks, ncep, BF), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nfft // 2, 2 * BF), jnp.float32)],
+        interpret=interpret,
     )(xT, *consts)
     out = out.swapaxes(-1, -2).reshape(Mp, ncep)[:M]
     return out.reshape(lead + (F_in, ncep))
 
 
 def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
-                       *, bf: int = BF) -> jnp.ndarray:
+                       *, bf: int = BF,
+                       interpret: bool = False) -> jnp.ndarray:
     """Fused radix-2 split-DFT kernel on RAW audio:
     (..., T) -> (..., F, nceptrums).  f32-HIGHEST throughout.
 
@@ -1101,6 +1106,7 @@ def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, ncep, L), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nfft // 2, 2 * L), jnp.float32)],
+        interpret=interpret,
     )(T4, T4, prevs, *consts)
     out = (out.reshape(S, nchunks, ncep, L).swapaxes(-1, -2)
            .reshape(S, Fp, ncep)[:, :F])

@@ -1,0 +1,294 @@
+"""Fused streaming-step Pallas kernels: the serving path in ONE kernel.
+
+The XLA streaming step (streaming._chunk_step_batch + the feature chain)
+runs as separate stages -- pre-emphasis, carry concat, the barrel-shifter
+alignment, the (S, F, nfft) frame materialization, then the feature matmuls
+-- each round-tripping HBM.  At serving shapes (thousands of streams, ~64 ms
+chunks) that HBM traffic dominates: round 2 measured 4.6 ms/step float /
+5.8 ms INT at S=4096, C=1024 (docs/BENCH.md round 2f), ~57k/45k real-time
+streams -- short of the 100k target.
+
+These kernels run the WHOLE step in VMEM, per block of BS=128 streams:
+
+  HBM in:  carry buffer (P, BS) transposed, raw chunk (C, BS) transposed
+           (int16 wire dtype supported), per-stream start offsets and
+           pre-emphasis carries as (1, BS) rows
+  VMEM:    pre-emphasis (sublane roll + carry row)
+           [carry | chunk] concat into an aligned scratch
+           BARREL alignment: ceil(log2(P+1)) rounds of static sublane roll
+           + per-lane bit select (the gather-free form of the ring buffer's
+           read pointer, mfcc/core/frame.py:86-114; per-lane dynamic shifts
+           have no other efficient TPU form)
+           frame rebuild: F sublane-offset submatrix copies into the
+           even/odd (radix-2) or sigma (INT ladder) layout
+           the full feature chain of the batch kernels
+           (pallas_mfcc._radix2_core / pallas_int._ladder + _post_fft_stages)
+  HBM out: (ncep, F*BS) features + the NEW carry (P, BS) -- the state
+           update is a kernel output (rows [C, C+P) of the concat scratch),
+           not a separate XLA pass.
+
+Invalid frame slots (beyond each stream's valid count) contain garbage from
+the circular barrel wrap; the caller masks them exactly as the XLA step
+masks its own garbage slots.  Valid frames and the carry are bit-identical
+to the XLA step (same f32 / wrap16 arithmetic order; asserted in
+tests/test_pallas_stream.py).
+
+This replaces the reference's lock-step per-frame streaming protocol
+(software/main.c:128-165 feeding mfcc/core/frame.py:86-114) at the
+many-streams-per-chip scale the TPU serves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import MFCCConfig
+from . import framing
+from .pallas_mfcc import _radix2_operators, _radix2_core
+from .pallas_int import (_ladder, _post_fft_stages, _ladder_packed_constants,
+                         _fb_limb_matrix, _zero_imag_stage_count)
+from . import int_ops
+
+BS = 128  # streams per block (lane count)
+
+
+def pallas_stream_supported(cfg: MFCCConfig) -> bool:
+    """Both fused streaming kernels need the radix-2/sigma frame layouts
+    (even hop) and the 512-point operator geometry."""
+    import jax as _jax
+    return (_jax.default_backend() == "tpu" and cfg.nfft == 512
+            and cfg.hop % 2 == 0 and cfg.windowlen == cfg.nfft)
+
+
+def _geometry(cfg: MFCCConfig, C: int):
+    """(P, F, Wp, nbits): carry length, frames per chunk, aligned scratch
+    rows (16-row padded so the even/odd reshape stays tile-friendly), barrel
+    rounds.  Valid window samples never wrap circularly: for a valid frame
+    sample j, start + j <= P + C - 1 < Wp."""
+    P = cfg.windowlen - 1
+    F = (C - 1) // cfg.hop + 1
+    need = max(P + C, (F - 1) * cfg.hop + cfg.nfft)
+    Wp = -(-need // 16) * 16
+    nbits = max(1, int(np.ceil(np.log2(P + 1))))
+    return P, F, Wp, nbits
+
+
+def _barrel_sublane(x, start_row, Wp: int, nbits: int):
+    """aligned[j, s] = x[(start[s] + j) mod Wp, s] as nbits rounds of static
+    circular sublane roll + per-lane select (start_row: (1, BS) int32)."""
+    for b in range(nbits):
+        sh = 1 << b
+        rolled = pltpu.roll(x, Wp - sh, 0)          # row j <- row j+sh
+        bit = ((start_row >> b) & 1) != 0
+        x = jnp.where(bit, rolled, x)
+    return x
+
+
+def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
+                         csp_ref, we_ref, wo_ref, twc_ref, tws_ref,
+                         mela_ref, melb_ref, dct_ref,
+                         out_ref, nbuf_ref, abuf, fbuf2, *,
+                         nfft, hop, P, C, Wp, F, nbits, bs):
+    Ct = chk_ref[:]
+    if Ct.dtype != jnp.float32:
+        Ct = Ct.astype(jnp.float32)        # int16 wire input: upcast in VMEM
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C, bs), 0)
+    up = pltpu.roll(Ct, 1, 0)                       # row t <- row t-1
+    pr = jnp.where(rows == 0, prev_ref[0:1, :], up)
+    E = Ct - jnp.float32(framing.EMPHASIS_COEFF) * pr
+    abuf[0:P, :] = buf_ref[:]
+    abuf[P: P + C, :] = E
+    if Wp > P + C:
+        abuf[P + C:, :] = jnp.zeros((Wp - P - C, bs), jnp.float32)
+    # the new carry is rows [C, C+P) of the UNALIGNED concat -- the state
+    # update rides the same kernel instead of a separate XLA pass
+    nbuf_ref[:] = abuf[C: C + P, :]
+    x = _barrel_sublane(abuf[:], start_ref[0:1, :], Wp, nbits)
+    xs = x.reshape(Wp // 2, 2, bs)                  # even/odd positions
+    Eev, Eod = xs[:, 0], xs[:, 1]
+    L = F * bs
+    nh = nfft // 2
+    for f in range(F):
+        r0 = (f * hop) // 2                         # hop even
+        fbuf2[:, f * bs:(f + 1) * bs] = Eev[r0: r0 + nh, :]
+        fbuf2[:, L + f * bs: L + (f + 1) * bs] = Eod[r0: r0 + nh, :]
+    out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
+                              tws_ref, mela_ref, melb_ref, dct_ref, L)
+
+
+def _stream_int_kernel(buf_ref, chk_ref, start_ref, prev_ref,
+                       wincol_ref, tw_ref, fb_ref, dtw_ref,
+                       out_ref, nbuf_ref, abuf, fbuf, dbuf_r, *,
+                       cfg: MFCCConfig, fb_shift, P, C, Wp, F, nbits, bs):
+    nfft, hop = cfg.nfft, cfg.hop
+    Ct = chk_ref[:].astype(jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C, bs), 0)
+    up = pltpu.roll(Ct, 1, 0)
+    pr = jnp.where(rows == 0, prev_ref[0:1, :], up)
+    # y = wrap16(x + (prev >> 5) - prev)  (preemph.py:23)
+    E = framing.wrap_signed(Ct + (pr >> 5) - pr, cfg.width)
+    abuf[0:P, :] = buf_ref[:]
+    abuf[P: P + C, :] = E
+    if Wp > P + C:
+        abuf[P + C:, :] = jnp.zeros((Wp - P - C, bs), jnp.int32)
+    nbuf_ref[:] = abuf[C: C + P, :]
+    x = _barrel_sublane(abuf[:], start_ref[0:1, :], Wp, nbits)
+    xs = x.reshape(Wp // 2, 2, bs)
+    Eev, Eod = xs[:, 0], xs[:, 1]
+    L = F * bs
+    half = nfft // 2
+    for f in range(F):
+        r0 = (f * hop) // 2
+        # sigma row layout: [even positions | odd positions]
+        fbuf[0:half, f * bs:(f + 1) * bs] = Eev[r0: r0 + half, :]
+        fbuf[half:, f * bs:(f + 1) * bs] = Eod[r0: r0 + half, :]
+    xw = framing.wrap_signed(
+        (fbuf[:] * wincol_ref[:]) >> (cfg.window_precision + 1), cfg.width)
+    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
+                     final_half_only=True,
+                     zero_imag_stages=_zero_imag_stage_count(nfft))
+    _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
+                     cfg=cfg, fb_shift=fb_shift, lanes=L)
+
+
+def _pad_streams(arr, Sp):
+    S = arr.shape[0]
+    if Sp > S:
+        arr = jnp.pad(arr, ((0, Sp - S),) + ((0, 0),) * (arr.ndim - 1))
+    return arr
+
+
+def stream_step_float(buffer, chunk, start, prev,
+                      cfg: MFCCConfig = MFCCConfig(), *,
+                      interpret: bool = False):
+    """One fused streaming feature step (float, radix-2 split-DFT tail).
+
+    buffer (S, P) f32 emphasized carry; chunk (S, C) raw samples (f32 or
+    int16); start (S,) int32 = P - count (reset already merged); prev (S,)
+    f32 raw previous sample (reset already merged).
+    Returns (feats (S, F, ncep) f32, new_buffer (S, P) f32); frame slots
+    beyond each stream's valid count are garbage the caller masks."""
+    S, P0 = buffer.shape
+    C = chunk.shape[1]
+    P, F, Wp, nbits = _geometry(cfg, C)
+    assert P0 == P
+    nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
+    nb = -(-S // BS)
+    Sp = nb * BS
+    if chunk.dtype != jnp.int16:
+        chunk = chunk.astype(jnp.float32)
+    bufT = _pad_streams(buffer.astype(jnp.float32), Sp).T
+    chkT = _pad_streams(chunk, Sp).T
+    startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
+    prevr = _pad_streams(prev.astype(jnp.float32)[:, None], Sp).T
+    consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
+    L = F * BS
+
+    out, nbuf = pl.pallas_call(
+        functools.partial(_stream_float_kernel, nfft=nfft, hop=hop, P=P,
+                          C=C, Wp=Wp, F=F, nbits=nbits, bs=BS),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((P, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
+                          memory_space=pltpu.VMEM) for a in consts],
+        out_specs=[
+            pl.BlockSpec((1, ncep, L), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, ncep, L), jnp.float32),
+            jax.ShapeDtypeStruct((P, Sp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Wp, BS), jnp.float32),
+            pltpu.VMEM((nfft // 2, 2 * L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bufT, chkT, startr, prevr, *consts)
+    feats = (out.reshape(nb, ncep, F, BS).transpose(0, 3, 2, 1)
+             .reshape(Sp, F, ncep)[:S])
+    return feats, nbuf.T[:S]
+
+
+def stream_step_int(buffer, chunk, start, prev,
+                    cfg: MFCCConfig = MFCCConfig(), *,
+                    interpret: bool = False):
+    """One fused streaming feature step (bit-exact INT, sigma-layout ladder).
+
+    buffer (S, P) int32 emphasized carry; chunk (S, C) raw int16-range
+    samples (int16 or int32); start (S,) int32 = P - count; prev (S,) int32
+    raw previous sample.  Returns (feats (S, F, ncep) int32, new_buffer
+    (S, P) int32); invalid frame slots are garbage the caller masks."""
+    S, P0 = buffer.shape
+    C = chunk.shape[1]
+    P, F, Wp, nbits = _geometry(cfg, C)
+    assert P0 == P
+    nfft, ncep = cfg.nfft, cfg.nceptrums
+    nb = -(-S // BS)
+    Sp = nb * BS
+    if chunk.dtype != jnp.int16:
+        chunk = chunk.astype(jnp.int32)
+    bufT = _pad_streams(buffer.astype(jnp.int32), Sp).T
+    chkT = _pad_streams(chunk, Sp).T
+    startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
+    prevr = _pad_streams(prev.astype(jnp.int32)[:, None], Sp).T
+
+    tw = _ladder_packed_constants(nfft, layout="evenodd")
+    fb_limbs, fb_shift = _fb_limb_matrix(cfg)
+    dtw = _ladder_packed_constants(4 * cfg.nfilters)
+    from .. import tables
+    wc = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
+                    np.int32)
+    wincol = np.concatenate([wc[0::2], wc[1::2]]).reshape(nfft, 1)
+    n4 = 4 * cfg.nfilters
+    L = F * BS
+
+    out, nbuf = pl.pallas_call(
+        functools.partial(_stream_int_kernel, cfg=cfg, fb_shift=fb_shift,
+                          P=P, C=C, Wp=Wp, F=F, nbits=nbits, bs=BS),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((P, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, 1), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ncep, L), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, ncep, L), jnp.int32),
+            jax.ShapeDtypeStruct((P, Sp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Wp, BS), jnp.int32),
+            pltpu.VMEM((nfft, L), jnp.int32),
+            pltpu.VMEM((n4, L), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bufT, chkT, startr, prevr, jnp.asarray(wincol), jnp.asarray(tw),
+      jnp.asarray(fb_limbs), jnp.asarray(dtw))
+    feats = (out.reshape(nb, ncep, F, BS).transpose(0, 3, 2, 1)
+             .reshape(Sp, F, ncep)[:S])
+    return feats, nbuf.T[:S]

@@ -103,7 +103,10 @@ def streaming_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
 
     sm_axes2 = NamedSharding(mesh, P("dp", None))
     if int_path:
-        emphasize, step_dtype = framing.preemphasis_int, jnp.int32
+        import functools
+        emphasize = functools.partial(framing.preemphasis_int,
+                                      width=cfg.width)
+        step_dtype = jnp.int32
         features = lambda fr: int_ops.mfcc_int_frames(fr, cfg=cfg)
     else:
         emphasize, step_dtype = framing.preemphasis, dtype

@@ -164,15 +164,17 @@ def power_int(re: np.ndarray, im: np.ndarray, width: int = 16,
 def filterbank_int_sequential(power: np.ndarray, sample_rate: int = 16000,
                               nfft: int = 512, ntap: int = 32,
                               wsize: int = 30, gain: int = 18,
-                              width_output: int = 16) -> np.ndarray:
+                              width_output: int = 16,
+                              width: int = 30) -> np.ndarray:
     """Direct sequential simulation of the FilterBank datapath
     (filterbank.py:90-142) over one frame of nfft//2 power samples.
-    Used to cross-check the closed-form weight matrix."""
+    Used to cross-check the closed-form weight matrix.  ``width`` is the
+    input data width (= PowerSpectrum width_output, mfcc.py:61,68)."""
     points = tables.mel_filter_points(sample_rate, nfft, ntap)
     steps = tables.mel_filter_steps(points, wsize)
     # o_regb register width (filterbank.py:77): wraps mod 2^maxvalrange
     import math
-    maxvalrange = int(math.log2(int(points[-1] - points[-3]))) + 30 + wsize
+    maxvalrange = int(math.log2(int(points[-1] - points[-3]))) + width + wsize
     regmask = (1 << maxvalrange) - 1
 
     mask = (1 << wsize) - 1
@@ -206,14 +208,15 @@ def filterbank_int_sequential(power: np.ndarray, sample_rate: int = 16000,
 
 def filterbank_int(power: np.ndarray, sample_rate: int = 16000,
                    nfft: int = 512, ntap: int = 32, wsize: int = 30,
-                   gain: int = 18, width_output: int = 16) -> np.ndarray:
+                   gain: int = 18, width_output: int = 16,
+                   width: int = 30) -> np.ndarray:
     """Closed-form: out[j] = ((power @ W)[j] >> shift) & mask with the exact
     integer weight matrix (tables.int_filterbank_matrix).  Batched over
     leading axes.  Equivalent to the sequential datapath; asserted in tests.
-    """
+    ``width`` = input data width (= PowerSpectrum width_output)."""
     import math
     points = tables.mel_filter_points(sample_rate, nfft, ntap)
-    maxvalrange = int(math.log2(int(points[-1] - points[-3]))) + 30 + wsize
+    maxvalrange = int(math.log2(int(points[-1] - points[-3]))) + width + wsize
     shift = maxvalrange - gain - width_output
     W = tables.int_filterbank_matrix(sample_rate, nfft, ntap, wsize)
     acc = np.asarray(power, dtype=object) @ W
@@ -267,6 +270,36 @@ def log2fix_int(data: np.ndarray, width: int = 16, width_output: int = 15
     return out
 
 
+def log2fixcalc_seq(x: int, width: int, precision: int,
+                    allow_fraction_input: bool = False) -> int:
+    """Literal sequential simulation of the Log2FixCalc FSM states
+    (mfcc/core/log.py:28-102): SHIFT-LEFT (fraction mode, log.py:47-55),
+    SHIFT-RIGHT, then precision-1 square-and-compare rounds.  All register
+    updates wrap mod 2^width like the RTL's width-bit signals."""
+    x = int(x)
+    assert x >= 1, "the FSM never leaves SHIFT-LEFT on 0"
+    mask = (1 << width) - 1
+    res = 0
+    if allow_fraction_input:
+        while x < (1 << precision):             # log.py:48
+            x = (x << 1) & mask                 # Cat(Const(0,1), x)
+            res = (res - (1 << precision)) & mask
+    while x >> (precision + 1):                 # log.py:58
+        x >>= 1
+        res = (res + (1 << precision)) & mask
+    z = x
+    b = 1 << (precision - 1)
+    for _ in range(precision - 1):              # cnt = precision-1 .. 1
+        c = z * z
+        if (c >> (2 * precision + 1)) & 1:      # log.py:92
+            z = c >> (precision + 1)
+            res = (res + b) & mask
+        else:
+            z = c >> precision
+        b >>= 1
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Stage 8: DCT via 4N FFT (mfcc/core/dct_stream.py)
 # ---------------------------------------------------------------------------
@@ -294,6 +327,7 @@ def mfcc_int(audio: np.ndarray, cfg: MFCCConfig = MFCCConfig(),
     """Complete fixed-point pipeline on a 1-D int16 signal; returns the
     (nframes, nceptrums) int16-range cepstra exactly as the RTL streams them
     out (Discard keeps [0, nceptrums), mfcc/core/mfcc.py:87)."""
+    cfg.validate_int()
     emph = preemphasis_int(audio, cfg.width)
     frames = frame_int(emph, cfg.nfft, cfg.hop, cfg.windowlen)
     win = window_int(frames, cfg.nfft, cfg.window_precision, cfg.width)
@@ -301,7 +335,8 @@ def mfcc_int(audio: np.ndarray, cfg: MFCCConfig = MFCCConfig(),
     power = power_int(re, im, cfg.width, cfg.power_width)
     mel = np.stack([
         filterbank_int(power[i], cfg.samplerate, cfg.nfft, cfg.nfilters,
-                       cfg.filter_wsize, cfg.filter_gain)
+                       cfg.filter_wsize, cfg.filter_gain,
+                       width=cfg.power_width)
         for i in range(power.shape[0])])
     logmel = log2fix_int(mel, 16, cfg.log_width_output)
     cep = dct_int(logmel, cfg.width)

@@ -153,7 +153,8 @@ class StreamingMFCC:
         use_pallas = device is None or device.platform == "tpu"
 
         if int_path:
-            emphasize = framing.preemphasis_int
+            emphasize = functools.partial(framing.preemphasis_int,
+                                          width=cfg.width)
             from .ops import pallas_int
             if use_pallas and pallas_int.pallas_int_supported(cfg):
                 # fused Mosaic kernel on the chunk's emphasized frames: all
@@ -188,6 +189,46 @@ class StreamingMFCC:
                 lengths=lengths)
             return features(frames), mask, new_state
 
+        # fused serving fast path: full-chunk steps run alignment + frame
+        # rebuild + features + the carry update in ONE Mosaic kernel
+        # (ops/pallas_stream.py); the multi-stage XLA step remains the
+        # flush-path (lengths) and non-TPU implementation.  Float feature
+        # values differ from the XLA chain by the usual f32 factorization
+        # ~1e-4 (both gate-clean vs the float64 oracle); the carry and the
+        # INT features are bit-identical (asserted in tests).
+        self._fused_jit = None
+        from .ops import pallas_stream
+        if ((device is None or device.platform == "tpu")
+                and pallas_stream.pallas_stream_supported(cfg)
+                and (int_path
+                     or (method == "dft" and precision == "highest"
+                         and dtype == jnp.float32))):
+            from .ops import pallas_int as _pi
+            if not int_path or _pi.pallas_int_supported(cfg):
+                kern = (pallas_stream.stream_step_int if int_path
+                        else pallas_stream.stream_step_float)
+                P = cfg.windowlen - 1
+
+                def fused(chunks, state, reset):
+                    count = jnp.where(reset, 0, state.count)
+                    prev = jnp.where(reset, jnp.zeros_like(state.prev),
+                                     state.prev)
+                    feats, newbuf = kern(state.buffer, chunks, P - count,
+                                         prev, cfg)
+                    C = chunks.shape[1]
+                    total = count + C
+                    n_valid = jnp.maximum(
+                        (total - cfg.windowlen) // cfg.hop + 1, 0)
+                    F = feats.shape[1]
+                    mask = (jnp.arange(F, dtype=jnp.int32)[None, :]
+                            < n_valid[:, None])
+                    new_count = (total - n_valid * cfg.hop).astype(jnp.int32)
+                    new_prev = chunks[:, -1].astype(state.prev.dtype)
+                    return feats, mask, StreamState(newbuf, new_count,
+                                                    new_prev)
+
+                self._fused_jit = jax.jit(fused)
+
         jit_full, jit_len = jax.jit(step_full), jax.jit(step_len)
         if int_path and not int_ops._fb_int32_layout_ok(cfg):
             def base_step(chunks, state, reset, lengths):
@@ -196,8 +237,12 @@ class StreamingMFCC:
                         return jit_full(chunks, state, reset)
                     return jit_len(chunks, state, reset, lengths)
         else:
+            fused_jit = self._fused_jit
+
             def base_step(chunks, state, reset, lengths):
                 if lengths is None:
+                    if fused_jit is not None:
+                        return fused_jit(chunks, state, reset)
                     return jit_full(chunks, state, reset)
                 return jit_len(chunks, state, reset, lengths)
         if device is not None:

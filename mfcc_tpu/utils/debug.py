@@ -47,7 +47,7 @@ def int_intermediates(audio, cfg: MFCCConfig = MFCCConfig()) -> dict:
     """All INT-path stage outputs (same taps, fixed-point)."""
     with jax.enable_x64():
         x = jnp.asarray(audio, dtype=jnp.int32)
-        emph = framing.preemphasis_int(x)
+        emph = framing.preemphasis_int(x, width=cfg.width)
         frames = framing.extract_frames(emph, cfg.nfft, cfg.hop,
                                     windowlen=cfg.windowlen)
         win = int_ops.window_int(frames, cfg.nfft, cfg.window_precision,

@@ -1,0 +1,123 @@
+"""Fused streaming-step kernel parity (interpret mode on CPU + TPU-gated).
+
+The fused kernels must reproduce the multi-stage XLA streaming step
+(streaming._chunk_step_batch + features) over a multi-step run with
+per-stream phase drift and mid-stream resets:
+
+  * the carry buffer, counts and masks: BIT-IDENTICAL (both paths)
+  * INT features on valid slots: element-exact
+  * float features on valid slots: within the cross-factorization gate
+    (radix-2 split vs full f32-HIGHEST DFT, both 1.5e-4 clean vs the
+    float64 oracle)
+"""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mfcc_tpu.config import MFCCConfig
+from mfcc_tpu import streaming
+from mfcc_tpu.ops import framing, float_ops, int_ops, pallas_stream
+
+CFG = MFCCConfig()
+P = CFG.nfft - 1
+
+
+def _xla_step(chunks, state, reset, *, int_path):
+    if int_path:
+        emphasize = functools.partial(framing.preemphasis_int, width=CFG.width)
+        frames, mask, ns = streaming._chunk_step_batch(
+            chunks, state, reset, CFG, emphasize, jnp.int32)
+        return int_ops.mfcc_int_frames(frames, CFG), mask, ns
+    frames, mask, ns = streaming._chunk_step_batch(
+        chunks, state, reset, CFG, framing.preemphasis, jnp.float32)
+    return float_ops.mfcc_frames(frames, CFG), mask, ns
+
+
+def _fused_step(chunks, state, reset, *, int_path, interpret):
+    kern = (pallas_stream.stream_step_int if int_path
+            else pallas_stream.stream_step_float)
+    count = jnp.where(reset, 0, state.count)
+    prev = jnp.where(reset, jnp.zeros_like(state.prev), state.prev)
+    feats, newbuf = kern(state.buffer, chunks, P - count, prev, CFG,
+                         interpret=interpret)
+    C = chunks.shape[1]
+    total = count + C
+    n_valid = jnp.maximum((total - CFG.windowlen) // CFG.hop + 1, 0)
+    mask = (jnp.arange(feats.shape[1], dtype=jnp.int32)[None, :]
+            < n_valid[:, None])
+    new_count = (total - n_valid * CFG.hop).astype(jnp.int32)
+    new_prev = chunks[:, -1].astype(state.prev.dtype)
+    return feats, mask, streaming.StreamState(newbuf, new_count, new_prev)
+
+
+def _run_parity(int_path, interpret, n_streams=3, C=600, steps=4):
+    """Multi-step run; stream phases diverge via a mid-run reset subset."""
+    rng = np.random.default_rng(42)
+    dtype = np.int64 if int_path else np.float32
+    sdtype = jnp.int32 if int_path else jnp.float32
+    state_x = streaming.init_state(n_streams, CFG, sdtype)
+    state_f = streaming.init_state(n_streams, CFG, sdtype)
+    for step in range(steps):
+        chunks = jnp.asarray(
+            rng.integers(-25000, 25000, (n_streams, C)).astype(dtype), sdtype)
+        reset = np.zeros(n_streams, bool)
+        if step == 2:
+            reset[::2] = True          # desynchronize the carry phases
+        reset = jnp.asarray(reset)
+        fx, mx, state_x = _xla_step(chunks, state_x, reset, int_path=int_path)
+        ff, mf, state_f = _fused_step(chunks, state_f, reset,
+                                      int_path=int_path, interpret=interpret)
+        mx, mf = np.asarray(mx), np.asarray(mf)
+        assert np.array_equal(mx, mf), f"mask mismatch at step {step}"
+        # carry state: bit-identical in both paths
+        assert np.array_equal(np.asarray(state_x.buffer),
+                              np.asarray(state_f.buffer)), f"step {step}"
+        assert np.array_equal(np.asarray(state_x.count),
+                              np.asarray(state_f.count))
+        assert np.array_equal(np.asarray(state_x.prev),
+                              np.asarray(state_f.prev))
+        fx, ff = np.asarray(fx), np.asarray(ff)
+        if int_path:
+            assert np.array_equal(fx[mx], ff[mf]), f"step {step}"
+        else:
+            assert np.abs(fx[mx] - ff[mf]).max() < 1e-3, f"step {step}"
+
+
+def test_stream_kernel_float_interpret():
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        _run_parity(int_path=False, interpret=True)
+
+
+def test_stream_kernel_int_interpret():
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        _run_parity(int_path=True, interpret=True)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_stream_kernel_compiled_tpu():
+    """Compiled Mosaic run, bigger stream block (exercises stream padding
+    and the multi-block grid), both dtypes."""
+    _run_parity(int_path=True, interpret=False, n_streams=130, C=400,
+                steps=3)
+    _run_parity(int_path=False, interpret=False, n_streams=130, C=400,
+                steps=3)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_streaming_class_routes_fused_tpu(audio_int16):
+    """StreamingMFCC's full-chunk step must route through the fused kernel
+    on TPU (and stay exact vs the batch INT pipeline)."""
+    from mfcc_tpu.streaming import StreamingMFCC
+    from mfcc_tpu.ref import int_ref
+    sm = StreamingMFCC(CFG, int_path=True)
+    assert sm._fused_jit is not None
+    sig = audio_int16.astype(np.int64)
+    want = int_ref.mfcc_int(sig, CFG)
+    outs, _ = sm.process(sig[None], chunk_size=298)
+    assert np.array_equal(outs[0], want[: outs[0].shape[0]])
