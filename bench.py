@@ -2,7 +2,11 @@
 """Benchmark: MFCC frames/second on one chip (the BASELINE metric).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"int_frames_per_second", "int_bit_exact"}.
+"int_frames_per_second", "int_bit_exact", "serving_streams_float",
+"serving_streams_int"}.  The serving_* keys are the SERVING-path capacity
+(concurrent real-time 16 kHz streams through the stateful streaming step,
+S=4096 x 1024-sample chunks, dispatch-amortized) -- the product-shaped
+number the 100k-stream target (BASELINE.md) is judged on.
 
 vs_baseline is against the reference's derived whole-core throughput of
 ~50k frames/s on its FPGA (BASELINE.md: per-frame cost ~ max(512-cycle
@@ -125,7 +129,7 @@ def time_fused(cfg, kind, x, nframes, reps=4, iters=4):
     fn = jax.jit(repfn)
     red(fn(x, jnp.asarray(0, salt_dtype)).sum())
     best = float("inf")
-    for rep in range(2):
+    for rep in range(3):        # best-of-3: tunnel jitter is 6-36 ms/dispatch
         t0 = time.perf_counter()
         acc = [fn(x, jnp.asarray(1 + 10 * rep + i, salt_dtype))
                for i in range(iters)]
@@ -185,7 +189,7 @@ def bench_int(cfg, S, T, F, iters):
         fps = S * F / dt
         print(f"# int (bit-exact={exact}): {fps/1e6:.3f} Mframes/s "
               f"({dt*1e3:.2f} ms/iter, S={S})", file=sys.stderr)
-        fused = time_fused(cfg, "int", xi, S * F, reps=8, iters=3)
+        fused = time_fused(cfg, "int", xi, S * F, reps=12, iters=3)
         print(f"# int fused-dispatch: {fused/1e6:.3f} Mframes/s "
               f"(target {INT_TARGET_FRAMES_PER_S/1e6:.1f})", file=sys.stderr)
         fps = max(fps, fused)
@@ -193,6 +197,69 @@ def bench_int(cfg, S, T, F, iters):
     except Exception as e:
         print(f"# int bench FAILED: {e!r}", file=sys.stderr)
         return 0.0, False
+
+
+def bench_serving(cfg, S=4096, C=1024, reps=8, iters=3):
+    """Serving-path capacity: dispatch-amortized streaming steps through
+    StreamingMFCC (the fused stream kernel on TPU), S concurrent streams x
+    C-sample chunks, state threaded rep-to-rep inside one dispatch (a real
+    sequential serving loop, not independent batch runs).
+
+    Returns {"serving_streams_float": N, "serving_streams_int": N, ...}:
+    how many concurrent REAL-TIME 16 kHz streams one chip sustains --
+    S * (C / samplerate) / step_seconds.  0 on failure so regressions are
+    machine-visible."""
+    import jax
+    import jax.numpy as jnp
+    from mfcc_tpu import streaming
+
+    out = {}
+    audio = make_audio(S, C, seed=11)
+    for name, int_path in (("float", False), ("int", True)):
+        key = f"serving_streams_{name}"
+        try:
+            sm = streaming.StreamingMFCC(cfg, int_path=int_path)
+            dt = jnp.int32 if int_path else jnp.float32
+            x = jax.device_put(jnp.asarray(audio, dt))
+            reset0 = jnp.zeros((S,), bool)
+            state0 = sm.init(S)
+            fused = sm._fused_jit is not None
+            step = (sm._fused_jit if fused
+                    else (lambda c, s, r: sm.step(c, s, r)))
+
+            def repfn(chunks, state, salt):
+                acc = jnp.zeros((), jnp.float32)
+                for r in range(reps):
+                    feats, mask, state = step(
+                        chunks + (salt + r).astype(chunks.dtype),
+                        state, reset0)
+                    acc = acc + feats[0, 0, 0].astype(jnp.float32)
+                return acc, state
+
+            fn = jax.jit(repfn)
+            mk = lambda v: jnp.asarray(v, dt)
+            a, st = fn(x, state0, mk(0))                  # warm / compile
+            float(a) ; jax.block_until_ready(st)
+            best = float("inf")
+            for rep in range(3):
+                t0 = time.perf_counter()
+                accs = []
+                st = state0
+                for i in range(iters):
+                    a, st = fn(x, st, mk(1 + 10 * rep + i))
+                    accs.append(a)
+                float(jnp.stack(accs).sum())              # force completion
+                int(jnp.asarray(st.count).max())
+                best = min(best, (time.perf_counter() - t0) / (iters * reps))
+            streams = S * (C / cfg.samplerate) / best
+            print(f"# serving {name} ({'fused kernel' if fused else 'XLA'}): "
+                  f"{best*1e3:.2f} ms/step (S={S}, C={C}) -> "
+                  f"{streams/1e3:.1f}k real-time streams", file=sys.stderr)
+            out[key] = round(streams, 1)
+        except Exception as e:
+            print(f"# serving {name} FAILED: {e!r}", file=sys.stderr)
+            out[key] = 0.0
+    return out
 
 
 def main():
@@ -244,8 +311,10 @@ def main():
         return x_i16
 
     int_fps, int_exact = (0.0, False)
+    serving = {"serving_streams_float": 0.0, "serving_streams_int": 0.0}
     if not args.quick:
         int_fps, int_exact = bench_int(cfg, S, T, F, max(6, iters // 2))
+        serving = bench_serving(cfg)
 
     passing = []
     for kind in candidates:
@@ -272,7 +341,7 @@ def main():
         print(json.dumps({"metric": "mfcc_frames_per_second", "value": 0,
                           "unit": "frames/s", "vs_baseline": 0.0,
                           "int_frames_per_second": round(int_fps, 1),
-                          "int_bit_exact": int_exact}))
+                          "int_bit_exact": int_exact, **serving}))
         return 1
 
     fps = best[0]
@@ -301,6 +370,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_S, 2),
         "int_frames_per_second": round(int_fps, 1),
         "int_bit_exact": int_exact,
+        **serving,
     }))
     return 0
 

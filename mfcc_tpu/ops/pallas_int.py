@@ -652,15 +652,21 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     return out.reshape(lead + (F, cfg.nceptrums))
 
 
-def pallas_int_supported(cfg: MFCCConfig) -> bool:
-    """The fused kernels hardcode the reference 16-bit config family."""
-    import jax as _jax
-    return (_jax.default_backend() == "tpu" and cfg.nfft == 512
-            and cfg.hop % 2 == 0
+def pallas_int_config_ok(cfg: MFCCConfig) -> bool:
+    """Config-only half of pallas_int_supported (also the gate for
+    interpret-mode runs off-TPU): the fused kernels hardcode the reference
+    16-bit config family."""
+    return (cfg.nfft == 512 and cfg.hop % 2 == 0
             and cfg.nfilters in (16, 32) and cfg.width == 16
             and cfg.window_precision == 8 and cfg.power_width == 30
             and cfg.windowlen == cfg.nfft
             and int_ops._fb_int32_layout_ok(cfg))
+
+
+def pallas_int_supported(cfg: MFCCConfig) -> bool:
+    """Gate for compiled (Mosaic) use: TPU backend + supported config."""
+    import jax as _jax
+    return _jax.default_backend() == "tpu" and pallas_int_config_ok(cfg)
 
 
 def mfcc_int_pallas_frames(frames: jnp.ndarray,

@@ -46,14 +46,20 @@ from . import framing
 BF = 128  # frames per block (MXU-aligned row count)
 
 
+def pallas_float_config_ok(cfg: MFCCConfig) -> bool:
+    """Config-only half of pallas_float_supported (also the gate for
+    interpret-mode runs off-TPU): the fused float kernels hardcode the
+    512-point operator geometry (272/136-row split-DFT halves, hop-row tile
+    layouts); other frame geometries use the XLA formulations (which honor
+    arbitrary nfft/hop)."""
+    return cfg.nfft == 512 and cfg.windowlen == cfg.nfft
+
+
 def pallas_float_supported(cfg: MFCCConfig) -> bool:
-    """The fused float kernels hardcode the 512-point operator geometry
-    (272/136-row split-DFT halves, hop-row tile layouts); any other frame
-    geometry must use the XLA formulations (which honor arbitrary nfft/hop).
-    Mirrors pallas_int.pallas_int_supported (round-2 ADVICE, medium)."""
+    """Gate for compiled (Mosaic) use: TPU backend + supported geometry
+    (round-2 ADVICE, medium)."""
     import jax as _jax
-    return (_jax.default_backend() == "tpu" and cfg.nfft == 512
-            and cfg.windowlen == cfg.nfft)
+    return _jax.default_backend() == "tpu" and pallas_float_config_ok(cfg)
 
 
 @functools.lru_cache(maxsize=None)

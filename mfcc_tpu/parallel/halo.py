@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import MFCCConfig
-from ..ops import float_ops, framing
+from ..ops import float_ops, int_ops, framing
 
 
 def pad_for_halo(T: int, mesh: Mesh, cfg: MFCCConfig) -> int:
@@ -41,15 +41,24 @@ def pad_for_halo(T: int, mesh: Mesh, cfg: MFCCConfig) -> int:
 
 
 def mfcc_halo_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
-                 method: str = "dft", precision: str = "highest",
-                 dtype=jnp.float32):
+                 int_path: bool = False, method: str = "dft",
+                 precision: str = "highest", dtype=jnp.float32):
     """jit-compiled (S, T) -> (S, F_padded, ncep) with an explicit ppermute
     halo over sp.  F_padded = T//hop; rows beyond cfg.n_frames(T) are
     padding (their windows extend past T) -- slice them off with
-    ``[:, :cfg.n_frames(T)]``."""
+    ``[:, :cfg.n_frames(T)]``.
+
+    ``int_path=True`` runs the bit-exact fixed-point pipeline under the
+    same halo schedule (the collective carries emphasized int32 samples)."""
     sp = mesh.shape.get("sp", 1)
     nfft, hop = cfg.nfft, cfg.hop
     ov = nfft - hop                      # halo samples per boundary
+
+    if int_path:
+        features = lambda fr: int_ops.mfcc_int_frames(fr, cfg=cfg)
+    else:
+        features = lambda fr: float_ops.mfcc_frames(
+            fr, cfg, method=method, precision=precision, dtype=dtype)
 
     def local(emph):                     # (S_loc, T_loc) one sp-shard
         T_loc = emph.shape[-1]
@@ -63,11 +72,16 @@ def mfcc_halo_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
         # T_loc - hop (the last ones reach into the halo)
         frames = framing.extract_frames(ext, nfft, hop)  # (S_loc, F_loc+?, nfft)
         frames = frames[:, : T_loc // hop]               # exactly F_loc rows
-        return float_ops.mfcc_frames(frames, cfg, method=method,
-                                     precision=precision, dtype=dtype)
+        return features(frames)
 
     def fn(audio):
-        emph = framing.preemphasis(audio.astype(dtype))
+        if int_path:
+            # pre-emphasis crosses sp boundaries by one sample; computed
+            # under the (dp, sp) sharding so XLA inserts that halo
+            emph = framing.preemphasis_int(audio.astype(jnp.int32),
+                                           width=cfg.width)
+        else:
+            emph = framing.preemphasis(audio.astype(dtype))
         sharded = shard_map(
             local, mesh=mesh,
             in_specs=P("dp", "sp"),

