@@ -166,15 +166,25 @@ def _pad_streams(arr, Sp):
 
 def stream_step_float(buffer, chunk, start, prev,
                       cfg: MFCCConfig = MFCCConfig(), *,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      transposed_state: bool = False):
     """One fused streaming feature step (float, radix-2 split-DFT tail).
 
     buffer (S, P) f32 emphasized carry; chunk (S, C) raw samples (f32 or
     int16); start (S,) int32 = P - count (reset already merged); prev (S,)
     f32 raw previous sample (reset already merged).
     Returns (feats (S, F, ncep) f32, new_buffer (S, P) f32); frame slots
-    beyond each stream's valid count are garbage the caller masks."""
-    S, P0 = buffer.shape
+    beyond each stream's valid count are garbage the caller masks.
+
+    ``transposed_state=True``: the carry buffer is stored (P, S) -- the
+    kernel's native layout -- so the step's only XLA relayout is the chunk
+    transpose (the serving loop's state never round-trips a transpose);
+    new_buffer comes back (P, S) likewise.  S must then be a multiple of
+    128 (no stream padding on the transposed path)."""
+    if transposed_state:
+        P0, S = buffer.shape
+    else:
+        S, P0 = buffer.shape
     C = chunk.shape[1]
     P, F, Wp, nbits = _geometry(cfg, C)
     assert P0 == P
@@ -183,7 +193,11 @@ def stream_step_float(buffer, chunk, start, prev,
     Sp = nb * BS
     if chunk.dtype != jnp.int16:
         chunk = chunk.astype(jnp.float32)
-    bufT = _pad_streams(buffer.astype(jnp.float32), Sp).T
+    if transposed_state:
+        assert S == Sp, "transposed-state path needs S % 128 == 0"
+        bufT = buffer.astype(jnp.float32)
+    else:
+        bufT = _pad_streams(buffer.astype(jnp.float32), Sp).T
     chkT = _pad_streams(chunk, Sp).T
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.float32)[:, None], Sp).T
@@ -218,19 +232,25 @@ def stream_step_float(buffer, chunk, start, prev,
     )(bufT, chkT, startr, prevr, *consts)
     feats = (out.reshape(nb, ncep, F, BS).transpose(0, 3, 2, 1)
              .reshape(Sp, F, ncep)[:S])
-    return feats, nbuf.T[:S]
+    return feats, (nbuf if transposed_state else nbuf.T[:S])
 
 
 def stream_step_int(buffer, chunk, start, prev,
                     cfg: MFCCConfig = MFCCConfig(), *,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    transposed_state: bool = False):
     """One fused streaming feature step (bit-exact INT, sigma-layout ladder).
 
     buffer (S, P) int32 emphasized carry; chunk (S, C) raw int16-range
     samples (int16 or int32); start (S,) int32 = P - count; prev (S,) int32
     raw previous sample.  Returns (feats (S, F, ncep) int32, new_buffer
-    (S, P) int32); invalid frame slots are garbage the caller masks."""
-    S, P0 = buffer.shape
+    (S, P) int32); invalid frame slots are garbage the caller masks.
+    ``transposed_state``: carry stored/returned (P, S) -- see
+    stream_step_float."""
+    if transposed_state:
+        P0, S = buffer.shape
+    else:
+        S, P0 = buffer.shape
     C = chunk.shape[1]
     P, F, Wp, nbits = _geometry(cfg, C)
     assert P0 == P
@@ -239,7 +259,11 @@ def stream_step_int(buffer, chunk, start, prev,
     Sp = nb * BS
     if chunk.dtype != jnp.int16:
         chunk = chunk.astype(jnp.int32)
-    bufT = _pad_streams(buffer.astype(jnp.int32), Sp).T
+    if transposed_state:
+        assert S == Sp, "transposed-state path needs S % 128 == 0"
+        bufT = buffer.astype(jnp.int32)
+    else:
+        bufT = _pad_streams(buffer.astype(jnp.int32), Sp).T
     chkT = _pad_streams(chunk, Sp).T
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.int32)[:, None], Sp).T
@@ -291,4 +315,4 @@ def stream_step_int(buffer, chunk, start, prev,
       jnp.asarray(fb_limbs), jnp.asarray(dtw))
     feats = (out.reshape(nb, ncep, F, BS).transpose(0, 3, 2, 1)
              .reshape(Sp, F, ncep)[:S])
-    return feats, nbuf.T[:S]
+    return feats, (nbuf if transposed_state else nbuf.T[:S])

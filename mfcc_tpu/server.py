@@ -61,7 +61,11 @@ class FeatureServer:
     def __init__(self, cfg: MFCCConfig = DEFAULT_CONFIG, *,
                  host: str = "127.0.0.1", port: int = 0,
                  max_streams: int = 8, chunk: int = 1024,
-                 int_path: bool = True, tick_s: float = 0.005):
+                 int_path: bool = True, tick_s: float = 0.005,
+                 device=None):
+        """``device``: optional jax.Device pinning the batched step (e.g.
+        the host CPU for small dev servers -- instant start; None = ambient
+        backend, the TPU serving path)."""
         import jax
         import jax.numpy as jnp
         from .streaming import StreamingMFCC
@@ -70,13 +74,17 @@ class FeatureServer:
         self.chunk = chunk
         self.int_path = int_path
         self.max_streams = max_streams
-        self._sm = StreamingMFCC(cfg, int_path=int_path)
+        self._sm = StreamingMFCC(cfg, int_path=int_path, device=device)
         self._state = self._sm.init(max_streams)
         self._slots = [_Slot() for _ in range(max_streams)]
         self._stop = threading.Event()
         self._tick_s = tick_s
         self._jnp = jnp
         self._jax = jax
+        # stepper-loop occupancy instrumentation (round-2 VERDICT weak 7):
+        # cumulative wall seconds inside gather / compute+send, and counts
+        self._stats = {"steps": 0, "idle_ticks": 0, "gather_s": 0.0,
+                       "compute_s": 0.0, "frames_tx": 0}
 
         srv = self
 
@@ -254,12 +262,18 @@ class FeatureServer:
 
     def _step_once(self) -> bool:
         jnp = self._jnp
+        t0 = time.perf_counter()
         chunks, resets, active, lengths = self._gather()
+        t1 = time.perf_counter()
+        self._stats["gather_s"] += t1 - t0
         if not active.any():
+            self._stats["idle_ticks"] += 1
             return False
         try:
             return self._compute_and_send(chunks, resets, active, lengths)
         finally:
+            self._stats["compute_s"] += time.perf_counter() - t1
+            self._stats["steps"] += 1
             for i, slot in enumerate(self._slots):
                 if active[i]:
                     with slot.lock:
@@ -269,12 +283,17 @@ class FeatureServer:
         jnp = self._jnp
         feats, mask, new_state = self._sm.step(chunks, self._state, resets,
                                                lengths=lengths)
-        # roll back state of inactive slots (they were fed zeros)
-        act = jnp.asarray(active)
-        self._state = self._jax.tree_util.tree_map(
-            lambda new, old: jnp.where(
-                act.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
-            new_state, self._state)
+        # roll back state of inactive slots (they were fed zeros).  MUST run
+        # under the pipeline's device context: eager jnp outside it would
+        # land the state on the ambient default device, and the next step
+        # would stall on a cross-device transfer (found by the 64-client
+        # load test with a CPU-pinned server under a TPU-default process).
+        with self._sm._device_ctx():
+            act = jnp.asarray(active)
+            self._state = self._jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    act.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                new_state, self._state)
         feats = np.asarray(feats)
         mask = np.asarray(mask)
         for i, slot in enumerate(self._slots):
@@ -285,6 +304,7 @@ class FeatureServer:
                 continue
             cols = np.clip(np.round(valid), -32768, 32767).astype(np.int16)
             data = transport.encode_frames(cols)
+            self._stats["frames_tx"] += len(cols)
             with slot.lock:
                 send = slot.send
                 slot.tx_frames += len(cols)
@@ -294,7 +314,14 @@ class FeatureServer:
 
     def _run_stepper(self):
         while not self._stop.is_set():
-            if not self._step_once():
+            try:
+                stepped = self._step_once()
+            except Exception:
+                # a failing batch must not kill the serving loop (the slots'
+                # busy flags are cleared by _step_once's finally)
+                log.exception("stepper: batched step failed")
+                stepped = False
+            if not stepped:
                 time.sleep(self._tick_s)
 
     # -- lifecycle -------------------------------------------------------------
@@ -329,6 +356,12 @@ class FeatureServer:
     def activity(self):
         """Per-slot (rx_words, tx_frames) -- the RX/TX LED equivalent."""
         return [(s.rx_words, s.tx_frames) for s in self._slots]
+
+    def stats(self):
+        """Stepper-loop occupancy counters: steps, idle_ticks, cumulative
+        seconds in the per-slot gather scan vs the batched compute+send,
+        and total frames sent (the serial-bottleneck observables)."""
+        return dict(self._stats)
 
 
 # -- client helper -------------------------------------------------------------

@@ -1,0 +1,59 @@
+"""FeatureServer under real concurrency: 64 simultaneous loopback clients.
+
+Regression for the server-as-a-server path (round-2 VERDICT weak item 7):
+every client must receive exactly its own stream's oracle features -- slot
+allocation, the per-slot gather, state rollback for idle slots, and EOF
+flush must all survive N >= 64 concurrent connections.  Pinned to the host
+CPU so the test measures the SERVER mechanics, not tunnel compiles; the
+TPU-scale capacity numbers live in examples/server_loadtest.py +
+docs/BENCH.md."""
+
+import threading
+
+import numpy as np
+import jax
+
+from mfcc_tpu.config import MFCCConfig
+from mfcc_tpu import server as srv
+from mfcc_tpu.ref import int_ref
+
+CFG = MFCCConfig(nceptrums=16)
+
+
+def test_server_64_concurrent_clients(audio_int16):
+    N = 64
+    s = srv.FeatureServer(CFG, max_streams=N, chunk=512, int_path=True,
+                          device=jax.devices("cpu")[0]).start()
+    try:
+        host, port = s.address
+        results = [None] * N
+        errors = []
+
+        def client(i):
+            try:
+                # distinct per-client signal: rolled copy, so a slot mixup
+                # would produce WRONG features, not accidentally-right ones
+                local = np.roll(audio_int16, 13 * i).astype(np.int16)
+                want = int_ref.mfcc_int(local.astype(np.int64),
+                                        CFG).astype(np.int16)
+                cols = srv.stream_samples(host, port, local, CFG.nceptrums,
+                                          expect_frames=want.shape[0],
+                                          timeout=120.0)
+                results[i] = (want, cols)
+            except Exception as e:           # surface in the main thread
+                errors.append((i, repr(e)))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(N)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors[:3]
+        for i, (want, cols) in enumerate(results):
+            assert cols is not None and np.array_equal(cols, want), \
+                f"client {i}: got {None if cols is None else cols.shape}"
+        st = s.stats()
+        assert st["steps"] >= 1 and st["frames_tx"] >= N * 5
+    finally:
+        s.stop()
