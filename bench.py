@@ -199,11 +199,12 @@ def bench_int(cfg, S, T, F, iters):
         return 0.0, False
 
 
-def bench_serving(cfg, S=4096, C=1024, reps=8, iters=3):
+def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
     """Serving-path capacity: dispatch-amortized streaming steps through
-    StreamingMFCC (the fused stream kernel on TPU), S concurrent streams x
-    C-sample chunks, state threaded rep-to-rep inside one dispatch (a real
-    sequential serving loop, not independent batch runs).
+    StreamingMFCC (the fused stream kernel on TPU, transposed carry state,
+    int16 wire chunks -- the production serving shape), S concurrent
+    streams x C-sample chunks, state threaded rep-to-rep inside one
+    dispatch (a real sequential serving loop, not independent batch runs).
 
     Returns {"serving_streams_float": N, "serving_streams_int": N, ...}:
     how many concurrent REAL-TIME 16 kHz streams one chip sustains --
@@ -218,8 +219,10 @@ def bench_serving(cfg, S=4096, C=1024, reps=8, iters=3):
     for name, int_path in (("float", False), ("int", True)):
         key = f"serving_streams_{name}"
         try:
-            sm = streaming.StreamingMFCC(cfg, int_path=int_path)
-            dt = jnp.int32 if int_path else jnp.float32
+            sm = streaming.StreamingMFCC(cfg, int_path=int_path,
+                                         transposed_state=True)
+            dt = jnp.int16 if sm._fused_jit is not None \
+                else (jnp.int32 if int_path else jnp.float32)
             x = jax.device_put(jnp.asarray(audio, dt))
             reset0 = jnp.zeros((S,), bool)
             state0 = sm.init(S)

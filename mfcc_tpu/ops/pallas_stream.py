@@ -179,8 +179,7 @@ def stream_step_float(buffer, chunk, start, prev,
     ``transposed_state=True``: the carry buffer is stored (P, S) -- the
     kernel's native layout -- so the step's only XLA relayout is the chunk
     transpose (the serving loop's state never round-trips a transpose);
-    new_buffer comes back (P, S) likewise.  S must then be a multiple of
-    128 (no stream padding on the transposed path)."""
+    new_buffer comes back (P, S) likewise."""
     if transposed_state:
         P0, S = buffer.shape
     else:
@@ -194,8 +193,9 @@ def stream_step_float(buffer, chunk, start, prev,
     if chunk.dtype != jnp.int16:
         chunk = chunk.astype(jnp.float32)
     if transposed_state:
-        assert S == Sp, "transposed-state path needs S % 128 == 0"
         bufT = buffer.astype(jnp.float32)
+        if Sp > S:
+            bufT = jnp.pad(bufT, ((0, 0), (0, Sp - S)))
     else:
         bufT = _pad_streams(buffer.astype(jnp.float32), Sp).T
     chkT = _pad_streams(chunk, Sp).T
@@ -232,7 +232,7 @@ def stream_step_float(buffer, chunk, start, prev,
     )(bufT, chkT, startr, prevr, *consts)
     feats = (out.reshape(nb, ncep, F, BS).transpose(0, 3, 2, 1)
              .reshape(Sp, F, ncep)[:S])
-    return feats, (nbuf if transposed_state else nbuf.T[:S])
+    return feats, (nbuf[:, :S] if transposed_state else nbuf.T[:S])
 
 
 def stream_step_int(buffer, chunk, start, prev,
@@ -260,8 +260,9 @@ def stream_step_int(buffer, chunk, start, prev,
     if chunk.dtype != jnp.int16:
         chunk = chunk.astype(jnp.int32)
     if transposed_state:
-        assert S == Sp, "transposed-state path needs S % 128 == 0"
         bufT = buffer.astype(jnp.int32)
+        if Sp > S:
+            bufT = jnp.pad(bufT, ((0, 0), (0, Sp - S)))
     else:
         bufT = _pad_streams(buffer.astype(jnp.int32), Sp).T
     chkT = _pad_streams(chunk, Sp).T
@@ -315,4 +316,4 @@ def stream_step_int(buffer, chunk, start, prev,
       jnp.asarray(fb_limbs), jnp.asarray(dtw))
     feats = (out.reshape(nb, ncep, F, BS).transpose(0, 3, 2, 1)
              .reshape(Sp, F, ncep)[:S])
-    return feats, (nbuf if transposed_state else nbuf.T[:S])
+    return feats, (nbuf[:, :S] if transposed_state else nbuf.T[:S])

@@ -139,17 +139,27 @@ class StreamingMFCC:
 
     def __init__(self, cfg: MFCCConfig = MFCCConfig(), *, int_path: bool = False,
                  method: str = "dft", precision: str = "highest",
-                 dtype=jnp.float32, device=None):
+                 dtype=jnp.float32, device=None,
+                 transposed_state: bool = False):
         """``device``: optional jax.Device to pin the whole streaming step to
         (e.g. ``jax.devices("cpu")[0]``).  The 1-stream CLI paths pin to the
         host CPU: a single real-time stream is a trivial CPU workload, and a
         fresh process pays seconds (local) instead of minutes (remote-tunnel
         Mosaic cold compile) to start -- the TPU path is for batch/serving
-        scale (round-2 VERDICT weak item 1)."""
+        scale (round-2 VERDICT weak item 1).
+
+        ``transposed_state=True`` stores the carry buffer (P, S) -- the
+        fused kernel's native layout -- so the serving loop's state never
+        round-trips an XLA transpose (measured: float 2.7 -> 1.6 ms/step at
+        S=4096).  Requires S % 128 == 0 on the fused path; the XLA paths
+        transpose at their boundary.  Combine with int16 chunk input (the
+        wire dtype passes straight to the kernel on full-chunk steps) for
+        the production serving shape."""
         self.cfg = cfg
         self.int_path = int_path
         self.dtype = jnp.int32 if int_path else dtype
         self._device = device
+        self.transposed_state = transposed_state
         use_pallas = device is None or device.platform == "tpu"
 
         if int_path:
@@ -178,16 +188,24 @@ class StreamingMFCC:
 
         step_dtype = self.dtype
 
+        def t_in(state):        # transposed-state <-> XLA (S, P) boundary
+            return (state._replace(buffer=state.buffer.T)
+                    if transposed_state else state)
+
+        def t_out(state):
+            return (state._replace(buffer=state.buffer.T)
+                    if transposed_state else state)
+
         def step_full(chunks, state, reset):
             frames, mask, new_state = _chunk_step_batch(
-                chunks, state, reset, cfg, emphasize, step_dtype)
-            return features(frames), mask, new_state
+                chunks, t_in(state), reset, cfg, emphasize, step_dtype)
+            return features(frames), mask, t_out(new_state)
 
         def step_len(chunks, state, reset, lengths):
             frames, mask, new_state = _chunk_step_batch(
-                chunks, state, reset, cfg, emphasize, step_dtype,
+                chunks, t_in(state), reset, cfg, emphasize, step_dtype,
                 lengths=lengths)
-            return features(frames), mask, new_state
+            return features(frames), mask, t_out(new_state)
 
         # fused serving fast path: full-chunk steps run alignment + frame
         # rebuild + features + the carry update in ONE Mosaic kernel
@@ -214,7 +232,8 @@ class StreamingMFCC:
                     prev = jnp.where(reset, jnp.zeros_like(state.prev),
                                      state.prev)
                     feats, newbuf = kern(state.buffer, chunks, P - count,
-                                         prev, cfg)
+                                         prev, cfg,
+                                         transposed_state=transposed_state)
                     C = chunks.shape[1]
                     total = count + C
                     n_valid = jnp.maximum(
@@ -260,7 +279,10 @@ class StreamingMFCC:
 
     def init(self, n_streams: int) -> StreamState:
         with self._device_ctx():
-            return init_state(n_streams, self.cfg, self.dtype)
+            st = init_state(n_streams, self.cfg, self.dtype)
+            if self.transposed_state:
+                st = st._replace(buffer=st.buffer.T)
+            return st
 
     def step(self, chunks, state: StreamState, reset=None, lengths=None):
         """Process one chunk per stream.
@@ -274,7 +296,13 @@ class StreamingMFCC:
         mask[s, k] marks which of the F_max frame slots are real frames.
         """
         with self._device_ctx():
-            chunks = jnp.asarray(chunks, self.dtype)
+            chunks = jnp.asarray(chunks)
+            if not (chunks.dtype == jnp.int16 and lengths is None
+                    and self._fused_jit is not None):
+                # the fused kernel streams the int16 wire dtype directly
+                # (half the HBM chunk bytes); every other path computes in
+                # the state dtype
+                chunks = chunks.astype(self.dtype)
             S, C = chunks.shape
             if reset is None:
                 reset = jnp.zeros((S,), bool)

@@ -87,6 +87,31 @@ def _run_parity(int_path, interpret, n_streams=3, C=600, steps=4):
             assert np.abs(fx[mx] - ff[mf]).max() < 1e-3, f"step {step}"
 
 
+def test_stream_transposed_state_int16_interpret():
+    """The production serving shape -- carry stored (P, S), int16 wire
+    chunks -- is numerically IDENTICAL to the plain (S, P)/f32-int32 path
+    (same kernel, only layout/ingest dtype differ)."""
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(7)
+    S, C = 3, 700
+    chunks = rng.integers(-25000, 25000, (S, C))
+    for int_path in (True, False):
+        kern = (pallas_stream.stream_step_int if int_path
+                else pallas_stream.stream_step_float)
+        sdt = jnp.int32 if int_path else jnp.float32
+        buf = jnp.asarray(rng.integers(-100, 100, (S, P)), sdt)
+        start = jnp.asarray([0, 170, 511], jnp.int32)
+        prev = jnp.asarray([0, 5, -7], sdt)
+        with jax.default_device(cpu):
+            f0, b0 = kern(buf, jnp.asarray(chunks, sdt), start, prev, CFG,
+                          interpret=True)
+            f1, b1 = kern(buf.T, jnp.asarray(chunks, jnp.int16), start,
+                          prev, CFG, interpret=True, transposed_state=True)
+        # streams 0/1 have in-range starts; stream 2 tests the max offset
+        assert np.array_equal(np.asarray(f0), np.asarray(f1))
+        assert np.array_equal(np.asarray(b0), np.asarray(b1).T)
+
+
 def test_stream_kernel_float_interpret():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
