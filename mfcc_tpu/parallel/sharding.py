@@ -67,6 +67,15 @@ def shard_streams(audio, mesh: Mesh) -> jax.Array:
     return jax.device_put(audio, NamedSharding(mesh, P("dp", "sp")))
 
 
+def _tag(jfn, impl_name: str):
+    """Expose which implementation a sharded factory selected (the dryrun
+    logs it) without losing the jit wrapper."""
+    def wrapped(*a, **k):
+        return jfn(*a, **k)
+    wrapped.selected_impl = impl_name
+    return wrapped
+
+
 def _kernel_choice(cfg: MFCCConfig, int_path: bool, use_kernels,
                    float_ok: bool = True):
     """Resolve the fused-kernel routing policy shared by the sharded fns.
@@ -133,7 +142,8 @@ def mfcc_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
             energy = jnp.mean(cep[..., 0].astype(jnp.float32) ** 2)
             return cep, energy
 
-        return jax.jit(fn)
+        return _tag(jax.jit(fn), "pallas-kernel/shard_map"
+                    + ("(interpret)" if use_kernels == "interpret" else ""))
 
     def fn(audio):
         audio = jax.lax.with_sharding_constraint(
@@ -153,7 +163,7 @@ def mfcc_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
         energy = jnp.mean(cep[..., 0].astype(jnp.float32) ** 2)
         return cep, energy
 
-    return jax.jit(fn)
+    return _tag(jax.jit(fn), "xla-chain/dp-sp")
 
 
 def streaming_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
@@ -205,7 +215,7 @@ def streaming_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
     if not fused_ok:
         if interpret:
             raise ValueError("config unsupported for interpret kernel routing")
-        return jax.jit(xla_step, static_argnames=())
+        return _tag(jax.jit(xla_step, static_argnames=()), "xla-step/dp")
 
     from jax import shard_map
     kern = (pallas_stream.stream_step_int if int_path
@@ -240,4 +250,6 @@ def streaming_sharded_fn(mesh: Mesh, cfg: MFCCConfig = MFCCConfig(), *,
                              state.prev, reset)
         return feats, mask, streaming.StreamState(nb, nc, npv)
 
-    return jax.jit(step, static_argnames=())
+    return _tag(jax.jit(step, static_argnames=()),
+                "fused-stream-kernel/shard_map"
+                + ("(interpret)" if interpret else ""))
