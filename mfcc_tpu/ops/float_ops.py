@@ -30,7 +30,7 @@ from ..config import MFCCConfig
 from .. import tables
 from . import framing
 
-Precision = Literal["highest", "high", "default", "split", "bf16"]
+Precision = Literal["highest", "high", "default", "split", "bf16", "f64ish"]
 
 
 def _bf16_trunc(x: jnp.ndarray) -> jnp.ndarray:
@@ -163,6 +163,11 @@ def mfcc_frames(frames: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(), *,
     method='dft'  -- windowed-DFT matmul on the MXU (TPU-native default).
     method='rfft' -- jnp.fft.rfft reference path (identical numerics spec).
     """
+    if precision == "f64ish":
+        # compensated double-f32 accuracy mode: <=1e-5 vs the float64
+        # oracle ON TPU (which rejects f64); see ops/df32.py
+        from . import df32
+        return df32.mfcc_frames_f64ish(frames, cfg)
     frames = frames.astype(dtype)
     nbins = cfg.nbins_float
     use_split = (precision == "split")

@@ -281,8 +281,12 @@ class FeatureServer:
 
     def _compute_and_send(self, chunks, resets, active, lengths) -> bool:
         jnp = self._jnp
+        # all-full-chunk ticks (the steady serving state) take the fused-
+        # kernel fast path; only ticks containing a flush (EOF / pre-reset
+        # run) pay the length-masked XLA step
+        lens = None if (lengths == self.chunk).all() else lengths
         feats, mask, new_state = self._sm.step(chunks, self._state, resets,
-                                               lengths=lengths)
+                                               lengths=lens)
         # roll back state of inactive slots (they were fed zeros).  MUST run
         # under the pipeline's device context: eager jnp outside it would
         # land the state on the ambient default device, and the next step
@@ -332,8 +336,14 @@ class FeatureServer:
         C, S = self.chunk, self.max_streams
         dummy = np.zeros((S, C), dtype=np.int64 if self.int_path
                          else np.float32)
+        # both serving programs: the full-chunk (fused-kernel) step and the
+        # length-masked flush step
         feats, mask, _ = self._sm.step(dummy, self._state,
                                        np.zeros(S, dtype=bool))
+        np.asarray(feats)
+        feats, mask, _ = self._sm.step(dummy, self._state,
+                                       np.zeros(S, dtype=bool),
+                                       lengths=np.full(S, C, np.int32))
         np.asarray(feats)
         return self
 

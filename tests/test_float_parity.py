@@ -61,3 +61,28 @@ def test_batch_of_streams(audio_int16):
     assert got.shape == (2, 5, 32)
     single = np.asarray(MFCC(CFG)(jnp.asarray(batch[1])))
     assert np.abs(got[1] - single).max() < 1e-5
+
+
+def test_f64ish_meets_1e5_target(audio_int16):
+    """Compensated double-f32 mode (ops/df32.py): <=1e-5 max-abs-err vs the
+    float64 oracle WITHOUT f64 hardware support -- the BASELINE.md accuracy
+    north star, met on the ambient backend (TPU in the driver env, CPU in
+    CI; measured 3.7e-6 on ~32 s of the reference's real speech wav on the
+    chip, docs/BENCH.md round 3b)."""
+    import jax
+    sig = audio_int16.astype(np.float32)
+    want = float_ref.mfcc_float(sig.astype(np.float64), CFG)
+    got = np.asarray(jax.jit(
+        lambda a: float_ops.mfcc_batch(a, CFG, precision="f64ish"))(
+            jnp.asarray(sig[None])))[0]
+    assert np.abs(got - want).max() <= 1e-5
+
+
+def test_f64ish_reference_wav(reference_wav):
+    import jax
+    real = reference_wav[: 512 + 90 * 170].astype(np.float32)
+    want = float_ref.mfcc_float(real.astype(np.float64), CFG)
+    got = np.asarray(jax.jit(
+        lambda a: float_ops.mfcc_batch(a, CFG, precision="f64ish"))(
+            jnp.asarray(real[None])))[0]
+    assert np.abs(got - want).max() <= 1e-5

@@ -13,6 +13,14 @@ from mfcc_tpu.ref import float_ref, int_ref
 CFG = MFCCConfig()
 
 
+def _cpu():
+    """Server tests exercise protocol/slot semantics; pin the step to the
+    host CPU so they don't pay remote kernel compiles (TPU-step parity is
+    covered by tests/test_pallas_stream.py)."""
+    import jax
+    return jax.devices("cpu")[0]
+
+
 def test_model_family_consistency(audio_int16):
     """Each truncation of the pipeline agrees with the full oracle's
     intermediates."""
@@ -69,7 +77,8 @@ def test_feature_server_roundtrip(audio_int16):
 
     sig = audio_int16[:1024]
     want = int_ref.mfcc_int(sig.astype(np.int64), CFG)  # 4 frames
-    srv = FeatureServer(CFG, max_streams=2, chunk=1024).start()
+    srv = FeatureServer(CFG, max_streams=2, chunk=1024,
+                        device=_cpu()).start()
     try:
         host, port = srv.address
         got = stream_samples(host, port, sig, CFG.nceptrums,
@@ -140,7 +149,8 @@ def test_server_trailing_reset_and_eof_flush(audio_int16):
 
     a = audio_int16[:1024]
     b = audio_int16[:1500]
-    srv = FeatureServer(CFG, max_streams=2, chunk=1024).start()
+    srv = FeatureServer(CFG, max_streams=2, chunk=1024,
+                        device=_cpu()).start()
     try:
         host, port = srv.address
 

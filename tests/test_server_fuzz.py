@@ -22,6 +22,14 @@ from mfcc_tpu.ref import int_ref
 CFG = MFCCConfig()
 
 
+def _cpu():
+    """Server tests exercise protocol/slot semantics; pin the step to the
+    host CPU so they don't pay remote kernel compiles (TPU-step parity is
+    covered by tests/test_pallas_stream.py)."""
+    import jax
+    return jax.devices("cpu")[0]
+
+
 def _expected(epochs):
     outs = [int_ref.mfcc_int(e.astype(np.int64), CFG)
             for e in epochs if len(e) >= CFG.nfft]
@@ -34,7 +42,8 @@ def test_server_protocol_fuzz(audio_int16):
 
     rng = np.random.default_rng(99)
     base = np.tile(audio_int16, 4)                     # 4768 samples
-    srv = FeatureServer(CFG, max_streams=2, chunk=1024).start()
+    srv = FeatureServer(CFG, max_streams=2, chunk=1024,
+                        device=_cpu()).start()
     try:
         host, port = srv.address
         for trial in range(4):

@@ -15,6 +15,14 @@ from mfcc_tpu.utils import viewer
 CFG = MFCCConfig()
 
 
+def _cpu():
+    """Server tests exercise protocol/slot semantics; pin the step to the
+    host CPU so they don't pay remote kernel compiles (TPU-step parity is
+    covered by tests/test_pallas_stream.py)."""
+    import jax
+    return jax.devices("cpu")[0]
+
+
 def test_contrast_mapping_matches_reference():
     """recv.c:54-58: scale=(val+3000)*4, x=scale/65535, inferno."""
     cols = np.array([[-3000, 0, 13384]], np.int16)   # x = 0, ~0.183, 1.0
@@ -65,7 +73,8 @@ def test_live_viewer_against_feature_server(audio_int16):
 
     sig = audio_int16[:1192]
     want = int_ref.mfcc_int(sig.astype(np.int64), CFG)
-    srv = FeatureServer(CFG, max_streams=1, chunk=1024).start()
+    srv = FeatureServer(CFG, max_streams=1, chunk=1024,
+                        device=_cpu()).start()
     try:
         host, port = srv.address
         sock = socket.create_connection((host, port), timeout=60)
