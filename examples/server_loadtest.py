@@ -125,7 +125,8 @@ def main():
 
     th_s = threading.Thread(target=sender, daemon=True)
     th_r = threading.Thread(target=reader, daemon=True)
-    t0 = time.perf_counter()
+    st0 = s.stats()                     # snapshot: occupancy over the load
+    t0 = time.perf_counter()            # window only, not server lifetime
     th_s.start(); th_r.start()
     time.sleep(args.seconds)
     stop.set()
@@ -136,7 +137,7 @@ def main():
             c.close()
         except OSError:
             pass
-    st = s.stats()
+    st = {k: v - st0[k] for k, v in s.stats().items()}
     s.stop()
 
     fps = frames_rx[0] / elapsed

@@ -78,6 +78,7 @@ class FeatureServer:
         self._state = self._sm.init(max_streams)
         self._slots = [_Slot() for _ in range(max_streams)]
         self._stop = threading.Event()
+        self._data = threading.Event()     # set when a slot buffers data
         self._tick_s = tick_s
         self._jnp = jnp
         self._jax = jax
@@ -164,6 +165,7 @@ class FeatureServer:
                             samples, resets, trailing_reset):
                         slot.pending.append((s_arr, reset_first))
                         slot.n_buffered += len(s_arr)
+                self._data.set()   # wake the stepper (event-driven ticks)
             # client closed its write side: flush the residual (< chunk)
             # samples through a length-limited step, then release the slot
             # (round-1 ADVICE, low: no silent partial-chunk drop)
@@ -197,12 +199,17 @@ class FeatureServer:
         zero-padded chunk with an explicit sample length."""
         C = self.chunk
         S = self.max_streams
-        chunks = np.zeros((S, C), dtype=np.int64 if self.int_path
+        # int16 is the wire dtype AND the fused kernel's native ingest --
+        # at serving scale the host->device chunk transfer dominates the
+        # step (measured 4x win vs int64 through the tunnel)
+        chunks = np.zeros((S, C), dtype=np.int16 if self.int_path
                           else np.float32)
         resets = np.zeros(S, dtype=bool)
         active = np.zeros(S, dtype=bool)
         lengths = np.full(S, C, dtype=np.int32)
         for i, slot in enumerate(self._slots):
+            if slot.send is None:     # racy-but-benign fast skip (GIL read;
+                continue              # _alloc_slot confirms under the lock)
             with slot.lock:
                 if slot.send is None:
                     continue
@@ -319,6 +326,7 @@ class FeatureServer:
     def _run_stepper(self):
         while not self._stop.is_set():
             try:
+                self._data.clear()
                 stepped = self._step_once()
             except Exception:
                 # a failing batch must not kill the serving loop (the slots'
@@ -326,7 +334,10 @@ class FeatureServer:
                 log.exception("stepper: batched step failed")
                 stepped = False
             if not stepped:
-                time.sleep(self._tick_s)
+                # wait for data instead of polling the slot scan; the
+                # timeout bounds EOF-flush latency (a not-yet-ready slot
+                # becomes flushable with no new bytes arriving)
+                self._data.wait(self._tick_s)
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -334,7 +345,7 @@ class FeatureServer:
         """Compile the batched step before accepting traffic (first jit
         compile can take minutes through a remote-compile tunnel)."""
         C, S = self.chunk, self.max_streams
-        dummy = np.zeros((S, C), dtype=np.int64 if self.int_path
+        dummy = np.zeros((S, C), dtype=np.int16 if self.int_path
                          else np.float32)
         # both serving programs: the full-chunk (fused-kernel) step and the
         # length-masked flush step
