@@ -299,14 +299,20 @@ class FeatureServer:
         # land the state on the ambient default device, and the next step
         # would stall on a cross-device transfer (found by the 64-client
         # load test with a CPU-pinned server under a TPU-default process).
+        # One JITTED call: the eager tree_map issued a dispatch per state
+        # leaf, and per-dispatch tunnel latency dominated the measured
+        # 512-client step (docs/BENCH.md round 3c).
+        if not hasattr(self, "_rollback_jit"):
+            def _rollback(new, old, act):
+                return self._jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        act.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+                    new, old)
+            self._rollback_jit = self._jax.jit(_rollback)
         with self._sm._device_ctx():
-            act = jnp.asarray(active)
-            self._state = self._jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    act.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
-                new_state, self._state)
-        feats = np.asarray(feats)
-        mask = np.asarray(mask)
+            self._state = self._rollback_jit(new_state, self._state,
+                                             jnp.asarray(active))
+        feats, mask = self._jax.device_get((feats, mask))
         for i, slot in enumerate(self._slots):
             if not active[i]:
                 continue
