@@ -1,10 +1,16 @@
-.PHONY: test test-multichip ci bench native selftest clean
+.PHONY: test test-driver test-multichip ci bench native selftest clean
 
 native:
 	$(MAKE) -C native
 
 test: native
 	python -m pytest tests/ -x -q
+
+# Whole suite under the AMBIENT platform (e.g. the axon/TPU driver env),
+# no -x so every failure is listed.  First cold run pays remote kernel
+# compiles; repeats are served from the compilation cache.
+test-driver: native
+	python -m pytest tests/ -q
 
 # Whole suite on a real 8-device virtual CPU mesh, regardless of the ambient
 # platform: PYTHONPATH is scrubbed so a jax-pre-importing sitecustomize (the
