@@ -143,7 +143,7 @@ def main():
     fps = frames_rx[0] / elapsed
     per_stream_rt = cfg.samplerate / cfg.hop        # ~94.1 frames/s
     lat = np.sort(np.array(latencies)) if latencies else np.array([0.0])
-    busy = st["gather_s"] + st["compute_s"]
+    busy = st["gather_s"] + st["compute_s"] + st["deliver_s"]
     print(f"streams={N} chunk={C} path={'float' if args.float else 'int'} "
           f"device={'cpu' if args.cpu else 'ambient'}")
     print(f"sustained: {fps:,.0f} frames/s "
@@ -154,7 +154,8 @@ def main():
           f"{period*1e3:.0f} ms)")
     print(f"stepper: {st['steps']} steps, occupancy "
           f"{busy/elapsed*100:.1f}% (gather {st['gather_s']/elapsed*100:.1f}%"
-          f" + compute/send {st['compute_s']/elapsed*100:.1f}%), "
+          f" + dispatch {st['compute_s']/elapsed*100:.1f}%"
+          f" + deliver {st['deliver_s']/elapsed*100:.1f}%), "
           f"{st['idle_ticks']} idle ticks")
 
 

@@ -52,7 +52,10 @@ class _Slot:
     tx_frames: int = 0
     reset_pending: bool = False
     eof: bool = False              # client closed its write side: flush
-    busy: bool = False             # a gathered chunk is in flight (stepper)
+    in_flight: int = 0             # gathered chunks not yet delivered; a
+    #   COUNTER, not a flag: the pipelined stepper can have two steps in
+    #   flight for one slot, and a boolean would let the earlier delivery
+    #   release the slot while the later step still owns it
 
 
 class FeatureServer:
@@ -83,9 +86,11 @@ class FeatureServer:
         self._jnp = jnp
         self._jax = jax
         # stepper-loop occupancy instrumentation (round-2 VERDICT weak 7):
-        # cumulative wall seconds inside gather / compute+send, and counts
+        # cumulative wall seconds inside gather / dispatch / delivery
         self._stats = {"steps": 0, "idle_ticks": 0, "gather_s": 0.0,
-                       "compute_s": 0.0, "frames_tx": 0}
+                       "compute_s": 0.0, "deliver_s": 0.0, "frames_tx": 0}
+        self._pending = None        # one dispatched step in flight
+        self._rollback_jit = None
 
         srv = self
 
@@ -113,6 +118,7 @@ class FeatureServer:
                     s.tx_frames = 0
                     s.reset_pending = True   # fresh stream = reset carry
                     s.eof = False
+                    s.in_flight = 0
                     return i
         return -1
 
@@ -177,7 +183,7 @@ class FeatureServer:
                     # drained means: nothing buffered AND no gathered chunk
                     # still being computed/sent by the stepper
                     if slot.n_buffered == 0 and not slot.pending \
-                            and not slot.busy:
+                            and slot.in_flight == 0:
                         break
                 time.sleep(self._tick_s)
         finally:
@@ -264,29 +270,54 @@ class FeatureServer:
                 slot.n_buffered -= got
                 resets[i] = reset_first
                 active[i] = True
-                slot.busy = True
+                slot.in_flight += 1
         return chunks, resets, active, lengths
 
     def _step_once(self) -> bool:
-        jnp = self._jnp
+        """One stepper tick with ONE step kept in flight: dispatch the
+        current gather (device work + async fetch begin), then DELIVER the
+        previous step's results (blocking host readback + per-slot sends).
+        The state chains step-to-step on the device, so the readback of
+        step k overlaps the device compute of step k+1 -- without this the
+        per-step host<->device round-trip latency serializes the loop
+        (measured as the ~160 ms/step wall at N=128, docs/BENCH.md round
+        3c).  A slot's busy flag holds from gather until ITS delivery."""
         t0 = time.perf_counter()
         chunks, resets, active, lengths = self._gather()
         t1 = time.perf_counter()
         self._stats["gather_s"] += t1 - t0
-        if not active.any():
+        dispatched = None
+        if active.any():
+            try:
+                dispatched = self._dispatch(chunks, resets, active, lengths)
+            except Exception:
+                log.exception("stepper: batched dispatch failed")
+                self._clear_busy(active)
+        else:
             self._stats["idle_ticks"] += 1
-            return False
-        try:
-            return self._compute_and_send(chunks, resets, active, lengths)
-        finally:
-            self._stats["compute_s"] += time.perf_counter() - t1
+        t2 = time.perf_counter()
+        self._stats["compute_s"] += t2 - t1
+        prev = self._pending
+        self._pending = dispatched
+        if prev is not None:
+            try:
+                self._deliver(*prev)
+            except Exception:
+                log.exception("stepper: delivery failed")
+                self._clear_busy(prev[2])
+            self._stats["deliver_s"] += time.perf_counter() - t2
             self._stats["steps"] += 1
-            for i, slot in enumerate(self._slots):
-                if active[i]:
-                    with slot.lock:
-                        slot.busy = False
+        return dispatched is not None or prev is not None
 
-    def _compute_and_send(self, chunks, resets, active, lengths) -> bool:
+    def _clear_busy(self, active):
+        for i, slot in enumerate(self._slots):
+            if active[i]:
+                with slot.lock:
+                    slot.in_flight -= 1
+
+    def _dispatch(self, chunks, resets, active, lengths):
+        """Enqueue the batched step + inactive-slot state rollback on the
+        device (async); returns (feats, mask, active) device handles."""
         jnp = self._jnp
         # all-full-chunk ticks (the steady serving state) take the fused-
         # kernel fast path; only ticks containing a flush (EOF / pre-reset
@@ -299,10 +330,8 @@ class FeatureServer:
         # land the state on the ambient default device, and the next step
         # would stall on a cross-device transfer (found by the 64-client
         # load test with a CPU-pinned server under a TPU-default process).
-        # One JITTED call: the eager tree_map issued a dispatch per state
-        # leaf, and per-dispatch tunnel latency dominated the measured
-        # 512-client step (docs/BENCH.md round 3c).
-        if not hasattr(self, "_rollback_jit"):
+        # One JITTED call: an eager tree_map issues a dispatch per leaf.
+        if self._rollback_jit is None:
             def _rollback(new, old, act):
                 return self._jax.tree_util.tree_map(
                     lambda n, o: jnp.where(
@@ -312,22 +341,27 @@ class FeatureServer:
         with self._sm._device_ctx():
             self._state = self._rollback_jit(new_state, self._state,
                                              jnp.asarray(active))
+        return feats, mask, active
+
+    def _deliver(self, feats, mask, active):
+        """Blocking host readback of a dispatched step + per-slot sends +
+        busy release."""
         feats, mask = self._jax.device_get((feats, mask))
         for i, slot in enumerate(self._slots):
             if not active[i]:
                 continue
             valid = feats[i][mask[i]]
-            if len(valid) == 0:
-                continue
-            cols = np.clip(np.round(valid), -32768, 32767).astype(np.int16)
-            data = transport.encode_frames(cols)
-            self._stats["frames_tx"] += len(cols)
-            with slot.lock:
-                send = slot.send
-                slot.tx_frames += len(cols)
-            if send is not None:
-                send(data)
-        return True
+            if len(valid):
+                cols = np.clip(np.round(valid), -32768,
+                               32767).astype(np.int16)
+                data = transport.encode_frames(cols)
+                self._stats["frames_tx"] += len(cols)
+                with slot.lock:
+                    send = slot.send
+                    slot.tx_frames += len(cols)
+                if send is not None:
+                    send(data)
+        self._clear_busy(active)
 
     def _run_stepper(self):
         while not self._stop.is_set():
@@ -335,9 +369,8 @@ class FeatureServer:
                 self._data.clear()
                 stepped = self._step_once()
             except Exception:
-                # a failing batch must not kill the serving loop (the slots'
-                # busy flags are cleared by _step_once's finally)
-                log.exception("stepper: batched step failed")
+                # a failing tick must not kill the serving loop
+                log.exception("stepper: tick failed")
                 stepped = False
             if not stepped:
                 # wait for data instead of polling the slot scan; the
