@@ -43,6 +43,19 @@ from . import framing, int_ops
 
 BF = 128  # frames per block (lane count)
 
+# Filterbank limb-matmul form: True = one row-stacked (n_w*ntap, nbins) dot
+# per power limb (n_w-fold less MXU RHS streaming); False = one small dot
+# per (weight limb, power limb) pair.  Module-level so experiments can
+# toggle it; see _post_fft_stages.
+FB_STACKED = True
+
+# DCT ladder layout: True = sigma (even/odd) rows.  The 4N interleave fill
+# (dct_stream.py:29-34) writes only ODD natural rows -- in sigma layout the
+# buffer is [zeros | odd-half] (two concats, no 2*ntap single-row stores),
+# the odd half is [logmel | reversed logmel] (reversal = log2(ntap) XOR-bit
+# roll+select rounds), and the final ladder stage runs half-only.
+DCT_SIGMA = True
+
 
 # ---------------------------------------------------------------------------
 # Constant builders
@@ -137,6 +150,13 @@ def _fb_limb_matrix(cfg: MFCCConfig):
     limbs = np.stack([((perm >> (7 * i)) & 0x7F).T.astype(np.int8)
                       for i in range(n_w)])        # (n_w, ntap, nbins)
     return limbs, shift
+
+
+def _dct_packed_constants(nfilters: int):
+    """Host-side twiddle operand for the in-kernel DCT ladder, in whichever
+    layout DCT_SIGMA selects (must match the kernel trace)."""
+    return _ladder_packed_constants(
+        4 * nfilters, layout="evenodd" if DCT_SIGMA else "natural")
 
 
 @functools.lru_cache(maxsize=None)
@@ -306,20 +326,43 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
                for j in range(n_p)]
     D = [None, None, None, None]       # base-2^23 digits of S
     need_bits = fb_shift + 16
-    for j in range(n_p):
-        for i in range(n_w):
-            sh = 7 * (i + j)
-            if sh >= need_bits:
+
+    def accum(P, sh):
+        t = sh % 23
+        dd = sh // 23
+        lo = (P & ((1 << (23 - t)) - 1)) << t
+        D[dd] = lo if D[dd] is None else D[dd] + lo
+        if dd + 1 < 4:
+            hi = P >> (23 - t)
+            D[dd + 1] = hi if D[dd + 1] is None else D[dd + 1] + hi
+
+    if FB_STACKED:
+        # Row-stack the weight limb matrices into ONE (n_w*ntap, nbins) LHS
+        # and issue a single dot per POWER limb: the MXU cost is streaming
+        # the (nbins, lanes) RHS, so this cuts RHS streaming n_w-fold and
+        # fills the 128-row MXU tile that a lone (ntap=32, nbins) LHS left
+        # 3/4 empty.  Contributions whose shift lands entirely above the
+        # consumed 16-bit window [fb_shift, fb_shift+16) are discarded
+        # post-dot (digit carries only propagate upward, so computing them
+        # cannot alias into the consumed bits).
+        fbs = fb_ref[:].reshape(n_w * ntap, nbins)
+        for j in range(n_p):
+            if 7 * j >= need_bits:
                 continue
-            P = jnp.dot(fb_ref[i], p_limbs[j],
-                        preferred_element_type=jnp.int32)
-            t = sh % 23
-            dd = sh // 23
-            lo = (P & ((1 << (23 - t)) - 1)) << t
-            D[dd] = lo if D[dd] is None else D[dd] + lo
-            if dd + 1 < 4:
-                hi = P >> (23 - t)
-                D[dd + 1] = hi if D[dd + 1] is None else D[dd + 1] + hi
+            Pall = jnp.dot(fbs, p_limbs[j], preferred_element_type=jnp.int32)
+            for i in range(n_w):
+                sh = 7 * (i + j)
+                if sh >= need_bits:
+                    continue
+                accum(Pall[i * ntap:(i + 1) * ntap], sh)
+    else:
+        for j in range(n_p):
+            for i in range(n_w):
+                sh = 7 * (i + j)
+                if sh >= need_bits:
+                    continue
+                accum(jnp.dot(fb_ref[i], p_limbs[j],
+                              preferred_element_type=jnp.int32), sh)
     zero = jnp.zeros((ntap, lanes), jnp.int32)
     D = [zero if v is None else v for v in D]
     for dd in range(3):
@@ -349,16 +392,43 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     logmel = res & ((1 << cfg.log_width_output) - 1)  # (ntap, lanes)
 
     # 5. DCT-II via 4N INT FFT: interleaved scatter fill, ladder, row extract
-    out_rows, fill_a, fill_b = _dct_constants(ntap)
-    dbuf_r[:] = jnp.zeros_like(dbuf_r)
-    for k in range(ntap):
-        dbuf_r[fill_a[k], :] = logmel[k, :]
-        dbuf_r[fill_b[k], :] = logmel[k, :]
-    cr, ci = _ladder(dbuf_r[:], jnp.zeros((4 * ntap, lanes), jnp.int32),
-                     dtw_ref, 4 * ntap,
-                     zero_imag_stages=_zero_imag_stage_count(4 * ntap))
-    for k in range(cfg.nceptrums):
-        out_ref[0, k, :] = cr[out_rows[k], :]
+    n4 = 4 * ntap
+    if DCT_SIGMA:
+        # The interleave fill (dct_stream.py:29-34) touches only ODD natural
+        # rows: 2k+1 <- logmel[k] and n4-1-2k <- logmel[k].  Odd row 2m+1
+        # holds logmel[m] for m < 2*ntap/2... precisely logmel[m] (m < ntap)
+        # and logmel[2*ntap-1-m] (m >= ntap): [logmel | reversed logmel].
+        # sigma maps odd naturals to the upper half, even (all-zero)
+        # naturals to the lower -- the fill is two concats, no row stores.
+        nrev = 2 * ntap
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (ntap, lanes), 0)
+        rev = logmel
+        for b in range(int(np.log2(ntap))):   # rev[m] = logmel[ntap-1-m]
+            sh = 1 << b
+            down = pltpu.roll(rev, sh, 0)            # row m <- row m-sh
+            upr = pltpu.roll(rev, ntap - sh, 0)      # row m <- row m+sh
+            rev = jnp.where((rows_m & sh) != 0, down, upr)
+        odd_half = jnp.concatenate([logmel, rev], axis=0)     # (2*ntap, L)
+        dbuf = jnp.concatenate([jnp.zeros_like(odd_half), odd_half], axis=0)
+        cr, _ = _ladder(dbuf, jnp.zeros((n4, lanes), jnp.int32),
+                        dtw_ref, n4, layout="evenodd", final_half_only=True,
+                        zero_imag_stages=_zero_imag_stage_count(n4))
+        # cepstrum k = bin k = natural row bitrev(k, log2(n4)); sigma halves
+        # that even row's index: extraction row = bitrev(k, log2(n4)) >> 1
+        L4 = int(np.log2(n4))
+        for k in range(cfg.nceptrums):
+            out_ref[0, k, :] = cr[_bitrev(k, L4) >> 1, :]
+    else:
+        out_rows, fill_a, fill_b = _dct_constants(ntap)
+        dbuf_r[:] = jnp.zeros_like(dbuf_r)
+        for k in range(ntap):
+            dbuf_r[fill_a[k], :] = logmel[k, :]
+            dbuf_r[fill_b[k], :] = logmel[k, :]
+        cr, ci = _ladder(dbuf_r[:], jnp.zeros((n4, lanes), jnp.int32),
+                         dtw_ref, n4,
+                         zero_imag_stages=_zero_imag_stage_count(n4))
+        for k in range(cfg.nceptrums):
+            out_ref[0, k, :] = cr[out_rows[k], :]
 
 
 def _int_kernel(win_ref, tw_ref, fb_ref, dtw_ref,
@@ -469,7 +539,7 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
 
     tw = _ladder_packed_constants(nfft, layout="evenodd")
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
-    dtw = _ladder_packed_constants(4 * cfg.nfilters)
+    dtw = _dct_packed_constants(cfg.nfilters)
     wc = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
                     np.int32)
     # sigma row layout: [even positions | odd positions]
@@ -606,7 +676,7 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
 
     tw = _ladder_packed_constants(nfft, layout="evenodd")
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
-    dtw = _ladder_packed_constants(4 * cfg.nfilters)
+    dtw = _dct_packed_constants(cfg.nfilters)
     wc = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
                     np.int32)
     # sigma row layout: [even positions | odd positions]
@@ -699,7 +769,7 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
 
     tw = _ladder_packed_constants(nfft, layout="evenodd")
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
-    dtw = _ladder_packed_constants(4 * cfg.nfilters)
+    dtw = _dct_packed_constants(cfg.nfilters)
     n4 = 4 * cfg.nfilters
 
     out = pl.pallas_call(
@@ -767,7 +837,7 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
 
     tw = _ladder_packed_constants(nfft, layout="evenodd")
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
-    dtw = _ladder_packed_constants(4 * cfg.nfilters)
+    dtw = _dct_packed_constants(cfg.nfilters)
     N = S * nblocks
     n4 = 4 * cfg.nfilters
 

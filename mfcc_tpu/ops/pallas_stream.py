@@ -52,10 +52,24 @@ from ..config import MFCCConfig
 from . import framing
 from .pallas_mfcc import _radix2_operators, _radix2_core
 from .pallas_int import (_ladder, _post_fft_stages, _ladder_packed_constants,
-                         _fb_limb_matrix, _zero_imag_stage_count)
+                         _dct_packed_constants, _fb_limb_matrix,
+                         _zero_imag_stage_count)
 from . import int_ops
 
 BS = 128  # streams per block (lane count)
+
+
+def _block_streams(cfg: MFCCConfig, C: int) -> int:
+    """Streams per kernel block: 128 lanes unless the chunk is long enough
+    that the (nfft, F*bs) frame scratch plus the ladder's live temporaries
+    blow the ~16 MB Mosaic scoped-VMEM budget (measured: C=2048 at bs=128
+    needs 22.7 MB).  Halving bs keeps F*bs <= 1024 -- the C=1024/bs=128
+    working set that is known to fit."""
+    F = (C - 1) // cfg.hop + 1
+    bs = BS
+    while bs > 8 and F * bs > 1024:
+        bs //= 2
+    return bs
 
 
 def pallas_stream_supported(cfg: MFCCConfig) -> bool:
@@ -90,26 +104,37 @@ def _barrel_sublane(x, start_row, Wp: int, nbits: int):
     return x
 
 
+def _rref(ref):
+    """Per-stream operand block: (X, bs) lane-sliced, or (1, X, bs) when the
+    narrow-lane path reshapes the stream axis into the grid (bs < 128 lane
+    blocks violate Mosaic's lane-divisibility rule unless the block's lane
+    dim equals the full array's)."""
+    return ref[0] if len(ref.shape) == 3 else ref[:]
+
+
 def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
                          csp_ref, we_ref, wo_ref, twc_ref, tws_ref,
                          mela_ref, melb_ref, dct_ref,
                          out_ref, nbuf_ref, abuf, fbuf2, *,
                          nfft, hop, P, C, Wp, F, nbits, bs):
-    Ct = chk_ref[:]
+    Ct = _rref(chk_ref)
     if Ct.dtype != jnp.float32:
         Ct = Ct.astype(jnp.float32)        # int16 wire input: upcast in VMEM
     rows = jax.lax.broadcasted_iota(jnp.int32, (C, bs), 0)
     up = pltpu.roll(Ct, 1, 0)                       # row t <- row t-1
-    pr = jnp.where(rows == 0, prev_ref[0:1, :], up)
+    pr = jnp.where(rows == 0, _rref(prev_ref), up)
     E = Ct - jnp.float32(framing.EMPHASIS_COEFF) * pr
-    abuf[0:P, :] = buf_ref[:]
+    abuf[0:P, :] = _rref(buf_ref)
     abuf[P: P + C, :] = E
     if Wp > P + C:
         abuf[P + C:, :] = jnp.zeros((Wp - P - C, bs), jnp.float32)
     # the new carry is rows [C, C+P) of the UNALIGNED concat -- the state
     # update rides the same kernel instead of a separate XLA pass
-    nbuf_ref[:] = abuf[C: C + P, :]
-    x = _barrel_sublane(abuf[:], start_ref[0:1, :], Wp, nbits)
+    if len(nbuf_ref.shape) == 3:
+        nbuf_ref[0] = abuf[C: C + P, :]
+    else:
+        nbuf_ref[:] = abuf[C: C + P, :]
+    x = _barrel_sublane(abuf[:], _rref(start_ref), Wp, nbits)
     xs = x.reshape(Wp // 2, 2, bs)                  # even/odd positions
     Eev, Eod = xs[:, 0], xs[:, 1]
     L = F * bs
@@ -127,18 +152,21 @@ def _stream_int_kernel(buf_ref, chk_ref, start_ref, prev_ref,
                        out_ref, nbuf_ref, abuf, fbuf, dbuf_r, *,
                        cfg: MFCCConfig, fb_shift, P, C, Wp, F, nbits, bs):
     nfft, hop = cfg.nfft, cfg.hop
-    Ct = chk_ref[:].astype(jnp.int32)
+    Ct = _rref(chk_ref).astype(jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (C, bs), 0)
     up = pltpu.roll(Ct, 1, 0)
-    pr = jnp.where(rows == 0, prev_ref[0:1, :], up)
+    pr = jnp.where(rows == 0, _rref(prev_ref), up)
     # y = wrap16(x + (prev >> 5) - prev)  (preemph.py:23)
     E = framing.wrap_signed(Ct + (pr >> 5) - pr, cfg.width)
-    abuf[0:P, :] = buf_ref[:]
+    abuf[0:P, :] = _rref(buf_ref)
     abuf[P: P + C, :] = E
     if Wp > P + C:
         abuf[P + C:, :] = jnp.zeros((Wp - P - C, bs), jnp.int32)
-    nbuf_ref[:] = abuf[C: C + P, :]
-    x = _barrel_sublane(abuf[:], start_ref[0:1, :], Wp, nbits)
+    if len(nbuf_ref.shape) == 3:
+        nbuf_ref[0] = abuf[C: C + P, :]
+    else:
+        nbuf_ref[:] = abuf[C: C + P, :]
+    x = _barrel_sublane(abuf[:], _rref(start_ref), Wp, nbits)
     xs = x.reshape(Wp // 2, 2, bs)
     Eev, Eod = xs[:, 0], xs[:, 1]
     L = F * bs
@@ -162,6 +190,41 @@ def _pad_streams(arr, Sp):
     if Sp > S:
         arr = jnp.pad(arr, ((0, Sp - S),) + ((0, 0),) * (arr.ndim - 1))
     return arr
+
+
+def _stream_operand_layout(arrs, bs, nb, Sp, carry_dtype):
+    """Kernel operands + specs for the per-stream arrays [buf (P, Sp),
+    chunk (C, Sp), start (1, Sp), prev (1, Sp)] and the new-carry output.
+
+    bs == BS: lane-sliced 2D blocks over the (X, Sp) arrays.  bs < BS
+    (long chunks, see _block_streams): Mosaic rejects lane blocks narrower
+    than 128 unless the block spans the whole lane dim, so the stream axis
+    splits into the grid host-side ((X, Sp) -> (nb, X, bs), a reshape +
+    transpose XLA pass on the narrow path only) and each block covers its
+    full (X, bs) tail."""
+    P = arrs[0].shape[0]
+    if bs == BS:
+        specs = [pl.BlockSpec((a.shape[0], bs), lambda n: (0, n),
+                              memory_space=pltpu.VMEM) for a in arrs]
+        nspec = pl.BlockSpec((P, bs), lambda n: (0, n),
+                             memory_space=pltpu.VMEM)
+        nshape = jax.ShapeDtypeStruct((P, Sp), carry_dtype)
+        return list(arrs), specs, nspec, nshape
+    ins = [a.reshape(a.shape[0], nb, bs).transpose(1, 0, 2) for a in arrs]
+    specs = [pl.BlockSpec((1, a.shape[0], bs), lambda n: (n, 0, 0),
+                          memory_space=pltpu.VMEM) for a in arrs]
+    nspec = pl.BlockSpec((1, P, bs), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM)
+    nshape = jax.ShapeDtypeStruct((nb, P, bs), carry_dtype)
+    return ins, specs, nspec, nshape
+
+
+def _restore_carry(nbuf, Sp):
+    """(nb, P, bs) narrow-path carry back to the canonical (P, Sp)."""
+    if nbuf.ndim == 3:
+        _, P, _ = nbuf.shape
+        return nbuf.transpose(1, 0, 2).reshape(P, Sp)
+    return nbuf
 
 
 def stream_step_float(buffer, chunk, start, prev,
@@ -188,8 +251,9 @@ def stream_step_float(buffer, chunk, start, prev,
     P, F, Wp, nbits = _geometry(cfg, C)
     assert P0 == P
     nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
-    nb = -(-S // BS)
-    Sp = nb * BS
+    bs = _block_streams(cfg, C)
+    nb = -(-S // bs)
+    Sp = nb * bs
     if chunk.dtype != jnp.int16:
         chunk = chunk.astype(jnp.float32)
     if transposed_state:
@@ -202,36 +266,35 @@ def stream_step_float(buffer, chunk, start, prev,
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.float32)[:, None], Sp).T
     consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
-    L = F * BS
+    L = F * bs
 
+    ins, in_specs, nbuf_spec, nbuf_shape = _stream_operand_layout(
+        [bufT, chkT, startr, prevr], bs, nb, Sp, jnp.float32)
     out, nbuf = pl.pallas_call(
         functools.partial(_stream_float_kernel, nfft=nfft, hop=hop, P=P,
-                          C=C, Wp=Wp, F=F, nbits=nbits, bs=BS),
+                          C=C, Wp=Wp, F=F, nbits=nbits, bs=bs),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((P, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
-                          memory_space=pltpu.VMEM) for a in consts],
+        in_specs=in_specs + [
+            pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM) for a in consts],
         out_specs=[
             pl.BlockSpec((1, ncep, L), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            nbuf_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, ncep, L), jnp.float32),
-            jax.ShapeDtypeStruct((P, Sp), jnp.float32),
+            nbuf_shape,
         ],
         scratch_shapes=[
-            pltpu.VMEM((Wp, BS), jnp.float32),
+            pltpu.VMEM((Wp, bs), jnp.float32),
             pltpu.VMEM((nfft // 2, 2 * L), jnp.float32),
         ],
         interpret=interpret,
-    )(bufT, chkT, startr, prevr, *consts)
-    feats = (out.reshape(nb, ncep, F, BS).transpose(0, 3, 2, 1)
+    )(*ins, *consts)
+    feats = (out.reshape(nb, ncep, F, bs).transpose(0, 3, 2, 1)
              .reshape(Sp, F, ncep)[:S])
+    nbuf = _restore_carry(nbuf, Sp)
     return feats, (nbuf[:, :S] if transposed_state else nbuf.T[:S])
 
 
@@ -255,8 +318,9 @@ def stream_step_int(buffer, chunk, start, prev,
     P, F, Wp, nbits = _geometry(cfg, C)
     assert P0 == P
     nfft, ncep = cfg.nfft, cfg.nceptrums
-    nb = -(-S // BS)
-    Sp = nb * BS
+    bs = _block_streams(cfg, C)
+    nb = -(-S // bs)
+    Sp = nb * bs
     if chunk.dtype != jnp.int16:
         chunk = chunk.astype(jnp.int32)
     if transposed_state:
@@ -271,23 +335,21 @@ def stream_step_int(buffer, chunk, start, prev,
 
     tw = _ladder_packed_constants(nfft, layout="evenodd")
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
-    dtw = _ladder_packed_constants(4 * cfg.nfilters)
+    dtw = _dct_packed_constants(cfg.nfilters)
     from .. import tables
     wc = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
                     np.int32)
     wincol = np.concatenate([wc[0::2], wc[1::2]]).reshape(nfft, 1)
     n4 = 4 * cfg.nfilters
-    L = F * BS
+    L = F * bs
 
+    ins, in_specs, nbuf_spec, nbuf_shape = _stream_operand_layout(
+        [bufT, chkT, startr, prevr], bs, nb, Sp, jnp.int32)
     out, nbuf = pl.pallas_call(
         functools.partial(_stream_int_kernel, cfg=cfg, fb_shift=fb_shift,
-                          P=P, C=C, Wp=Wp, F=F, nbits=nbits, bs=BS),
+                          P=P, C=C, Wp=Wp, F=F, nbits=nbits, bs=bs),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((P, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+        in_specs=in_specs + [
             pl.BlockSpec((nfft, 1), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
@@ -300,20 +362,21 @@ def stream_step_int(buffer, chunk, start, prev,
         out_specs=[
             pl.BlockSpec((1, ncep, L), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, BS), lambda n: (0, n), memory_space=pltpu.VMEM),
+            nbuf_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, ncep, L), jnp.int32),
-            jax.ShapeDtypeStruct((P, Sp), jnp.int32),
+            nbuf_shape,
         ],
         scratch_shapes=[
-            pltpu.VMEM((Wp, BS), jnp.int32),
+            pltpu.VMEM((Wp, bs), jnp.int32),
             pltpu.VMEM((nfft, L), jnp.int32),
             pltpu.VMEM((n4, L), jnp.int32),
         ],
         interpret=interpret,
-    )(bufT, chkT, startr, prevr, jnp.asarray(wincol), jnp.asarray(tw),
+    )(*ins, jnp.asarray(wincol), jnp.asarray(tw),
       jnp.asarray(fb_limbs), jnp.asarray(dtw))
-    feats = (out.reshape(nb, ncep, F, BS).transpose(0, 3, 2, 1)
+    feats = (out.reshape(nb, ncep, F, bs).transpose(0, 3, 2, 1)
              .reshape(Sp, F, ncep)[:S])
+    nbuf = _restore_carry(nbuf, Sp)
     return feats, (nbuf[:, :S] if transposed_state else nbuf.T[:S])

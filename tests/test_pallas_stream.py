@@ -112,6 +112,16 @@ def test_stream_transposed_state_int16_interpret():
         assert np.array_equal(np.asarray(b0), np.asarray(b1).T)
 
 
+def test_stream_kernel_narrow_lane_interpret():
+    """Long chunks auto-halve the stream-block lane count (C=2048 at
+    bs=128 blew the 16 MB scoped-VMEM budget); the narrow-lane path
+    reshapes the stream axis into the grid and must stay exact."""
+    assert pallas_stream._block_streams(CFG, 2048) < pallas_stream.BS
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        _run_parity(int_path=True, interpret=True, C=2048, steps=2)
+
+
 def test_stream_kernel_float_interpret():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -132,6 +142,14 @@ def test_stream_kernel_compiled_tpu():
                 steps=3)
     _run_parity(int_path=False, interpret=False, n_streams=130, C=400,
                 steps=3)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_stream_kernel_narrow_lane_compiled_tpu():
+    """C=2048 (the round-3 Mosaic scoped-VMEM OOM shape) must compile and
+    stay exact on the chip via the bs=64 narrow-lane path."""
+    _run_parity(int_path=True, interpret=False, n_streams=70, C=2048,
+                steps=2)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
