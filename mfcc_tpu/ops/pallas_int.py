@@ -49,6 +49,13 @@ BF = 128  # frames per block (lane count)
 # toggle it; see _post_fft_stages.
 FB_STACKED = True
 
+# Filterbank limb radix: 7 = int8 limbs (int32 MXU accumulation), 8 = bf16
+# limbs (f32 MXU accumulation, exact below 2^24 -- asserted).  8-bit limbs
+# need one fewer weight AND power limb for the reference 30/31-bit widths
+# (fewer dots, fewer RHS extract+cast passes) and skip the int32->int8
+# 4x sublane repack of every (nbins, lanes) RHS.
+FB_LIMB_BITS = 8
+
 # DCT ladder layout: True = sigma (even/odd) rows.  The 4N interleave fill
 # (dct_stream.py:29-34) writes only ODD natural rows -- in sigma layout the
 # buffer is [zeros | odd-half] (two concats, no 2*ntap single-row stores),
@@ -124,9 +131,10 @@ def _ladder_packed_constants(size: int, width: int = 16,
 
 @functools.lru_cache(maxsize=None)
 def _fb_limb_matrix(cfg: MFCCConfig):
-    """Filterbank 8-bit limb matrices with bin->row permutation folded in:
-    (4, ntap, size) f32 where column r holds the weight of FFT output row r
-    (= bin bitrev(r) if that bin < nbins, else 0)."""
+    """Filterbank limb matrices with bin->row permutation folded in:
+    (n_w, ntap, nbins) where column r holds the weight of FFT output row r
+    (= bin bitrev(r) if that bin < nbins, else 0).  Limb radix/dtype follow
+    FB_LIMB_BITS (see the flag comment)."""
     size = cfg.nfft
     L = int(np.log2(size))
     Wnp, shift = int_ops._fb_constants(cfg.samplerate, cfg.nfft,
@@ -141,15 +149,22 @@ def _fb_limb_matrix(cfg: MFCCConfig):
     perm = np.zeros((nbins, cfg.nfilters), dtype=np.int64)
     for r in range(0, size, 2):
         perm[r // 2] = Wnp[_bitrev(r, L)]
-    # 7-bit limbs in int8: the MXU's int8 path runs at 2x the bf16 rate
-    # and accumulates exactly in int32 (products < 127*127*nbins ~ 2^22 --
-    # no partial-sum ceiling to respect).  Weights are non-negative
-    # integers, so base-128 digits fit int8 natively with no offset trick.
+    # Weights are non-negative integers, so base-2^b digits need no offset
+    # trick.  Exactness: 7-bit limbs in int8 accumulate exactly in int32
+    # (products < 127*127*nbins ~ 2^22); 8-bit limbs in bf16 are exact in
+    # the MXU's f32 accumulation (255*255*nbins = 16.65M < 2^24, asserted).
+    bits = FB_LIMB_BITS
+    mask = (1 << bits) - 1
     wbits = max(1, int(perm.max()).bit_length())
-    n_w = -(-wbits // 7)
-    limbs = np.stack([((perm >> (7 * i)) & 0x7F).T.astype(np.int8)
+    n_w = -(-wbits // bits)
+    limbs = np.stack([((perm >> (bits * i)) & mask).T
                       for i in range(n_w)])        # (n_w, ntap, nbins)
-    return limbs, shift
+    if bits == 7:
+        return limbs.astype(np.int8), shift
+    assert (1 << bits) - 1 <= 255 and ((1 << bits) - 1) ** 2 * nbins < 1 << 24, \
+        "bf16-limb filterbank partial sums would exceed exact f32 range"
+    import ml_dtypes
+    return limbs.astype(ml_dtypes.bfloat16), shift
 
 
 def _dct_packed_constants(nfilters: int):
@@ -303,9 +318,15 @@ def _zero_imag_stage_count(size: int, width: int = 16) -> int:
 # ---------------------------------------------------------------------------
 
 def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
-                     *, cfg: MFCCConfig, fb_shift: int, lanes: int):
+                     *, cfg: MFCCConfig, fb_shift: int, lanes: int,
+                     stop_after: str | None = None):
     """Stages 2-5 (power, filterbank, log2, DCT) shared by the kernel
-    variants; wr/wi: (nfft, lanes) ladder outputs."""
+    variants; wr/wi: (nfft, lanes) ladder outputs.
+
+    ``stop_after`` ("mel" | "logmel"): profiling hook -- write that
+    stage's leading rows to out_ref and return, so Mosaic DCEs the tail
+    and timing deltas attribute per-stage cost (never set in production;
+    see the stage-ablation notes in docs/BENCH.md)."""
     ntap = cfg.nfilters
     nbins = cfg.nfft // 2
 
@@ -317,12 +338,20 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     s = wr_e * wr_e + wi_e * wi_e
     power = jax.lax.shift_right_logical(s, jnp.int32(2 * 16 - cfg.power_width))
 
-    # 3. integer filterbank: 7-bit limb int8 MXU matmuls (rows
-    # pre-permuted, conjugate-zero columns dropped -- _fb_limb_matrix);
-    # int8 runs at 2x the bf16 rate and int32 accumulation is exact
+    # 3. integer filterbank: limb MXU matmuls (rows pre-permuted,
+    # conjugate-zero columns dropped -- _fb_limb_matrix).  Radix follows
+    # FB_LIMB_BITS: 7-bit int8 limbs (exact int32 MXU accumulation) or
+    # 8-bit bf16 limbs (exact f32 accumulation below 2^24, asserted at
+    # table build) -- 8-bit needs one fewer limb on each side for the
+    # reference 30/31-bit widths and skips the int32->int8 4x sublane
+    # repack of every (nbins, lanes) RHS.
+    bits = 7 if fb_ref.dtype == jnp.int8 else 8
+    mask = (1 << bits) - 1
+    acc_t = jnp.int32 if bits == 7 else jnp.float32
+    limb_t = jnp.int8 if bits == 7 else jnp.bfloat16
     n_w = fb_ref.shape[0]
-    n_p = -(-cfg.power_width // 7)
-    p_limbs = [((power >> (7 * j)) & 0x7F).astype(jnp.int8)
+    n_p = -(-cfg.power_width // bits)
+    p_limbs = [((power >> (bits * j)) & mask).astype(limb_t)
                for j in range(n_p)]
     D = [None, None, None, None]       # base-2^23 digits of S
     need_bits = fb_shift + 16
@@ -347,22 +376,27 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
         # cannot alias into the consumed bits).
         fbs = fb_ref[:].reshape(n_w * ntap, nbins)
         for j in range(n_p):
-            if 7 * j >= need_bits:
+            if bits * j >= need_bits:
                 continue
-            Pall = jnp.dot(fbs, p_limbs[j], preferred_element_type=jnp.int32)
+            Pall = jnp.dot(fbs, p_limbs[j], preferred_element_type=acc_t)
+            if acc_t is jnp.float32:
+                Pall = Pall.astype(jnp.int32)
             for i in range(n_w):
-                sh = 7 * (i + j)
+                sh = bits * (i + j)
                 if sh >= need_bits:
                     continue
                 accum(Pall[i * ntap:(i + 1) * ntap], sh)
     else:
         for j in range(n_p):
             for i in range(n_w):
-                sh = 7 * (i + j)
+                sh = bits * (i + j)
                 if sh >= need_bits:
                     continue
-                accum(jnp.dot(fb_ref[i], p_limbs[j],
-                              preferred_element_type=jnp.int32), sh)
+                P = jnp.dot(fb_ref[i], p_limbs[j],
+                            preferred_element_type=acc_t)
+                if acc_t is jnp.float32:
+                    P = P.astype(jnp.int32)
+                accum(P, sh)
     zero = jnp.zeros((ntap, lanes), jnp.int32)
     D = [zero if v is None else v for v in D]
     for dd in range(3):
@@ -373,6 +407,9 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     if r:
         mel = mel | (D[q + 1] << (23 - r))
     mel = mel & 0xFFFF                               # (ntap, lanes)
+    if stop_after == "mel":
+        out_ref[0] = mel[: cfg.nceptrums]
+        return
 
     # 4. Turner log2 (log.py), unrolled; precision = 11 for Log2Fix(16, 15)
     precision = cfg.log_precision
@@ -390,6 +427,9 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
         z = jnp.where(hi == 1, c >> (precision + 1), c >> precision)
         b >>= 1
     logmel = res & ((1 << cfg.log_width_output) - 1)  # (ntap, lanes)
+    if stop_after == "logmel":
+        out_ref[0] = logmel[: cfg.nceptrums]
+        return
 
     # 5. DCT-II via 4N INT FFT: interleaved scatter fill, ladder, row extract
     n4 = 4 * ntap

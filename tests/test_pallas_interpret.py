@@ -80,6 +80,25 @@ def test_interpret_int_v3(cpu, sig2):
     assert np.array_equal(got, _int_want(sig2))
 
 
+def test_interpret_int_v3_alt_limb_radix(cpu, sig2):
+    """The non-default filterbank limb radix (7-bit int8 vs the shipped
+    8-bit bf16, pallas_int.FB_LIMB_BITS) must stay bit-exact too -- both
+    are measured equal on TPU (docs/BENCH.md round 3e) and the flag flips
+    the limb tables AND the in-kernel power-limb extraction together."""
+    alt = 7 if pallas_int.FB_LIMB_BITS == 8 else 8
+    saved = pallas_int.FB_LIMB_BITS
+    pallas_int._fb_limb_matrix.cache_clear()
+    try:
+        pallas_int.FB_LIMB_BITS = alt
+        with jax.default_device(cpu):
+            got = np.asarray(pallas_int.mfcc_int_pallas_v3(
+                sig2.astype(np.int32), CFG, interpret=True))
+        assert np.array_equal(got, _int_want(sig2))
+    finally:
+        pallas_int.FB_LIMB_BITS = saved
+        pallas_int._fb_limb_matrix.cache_clear()
+
+
 def test_interpret_int_frames(cpu, sig2):
     from mfcc_tpu.ops import framing
     emph = framing.preemphasis_int(sig2.astype(np.int32))
