@@ -182,6 +182,62 @@ def _int_limb_matmul(x, W64: np.ndarray, grid_bits: int = 5,
     return s, e
 
 
+def _pow2_dyn(g):
+    """Exact f32 power of two 2**g for a traced int32 scalar g (clamped to
+    the normal-exponent range): built by bit assembly, no transcendentals."""
+    g = jnp.clip(g, -126, 127)
+    return jax.lax.bitcast_convert_type(
+        ((g + 127) << 23).astype(jnp.int32), jnp.float32)
+
+
+def _limb_matmul_auto(x, W64: np.ndarray, w_bits: int = 50):
+    """`_int_limb_matmul` for ARBITRARY-SCALE float input (ROADMAP item 5).
+
+    The wire-grid variant is exact because x lies on the static 2^-5 grid;
+    here the grid is chosen per call: g = 22 - floor(log2(max|x|)) so that
+    xi = round(x * 2^g) fits 24 bits (xi, and xq = xi * 2^-g, are then
+    EXACT in f32), the same 4 balanced 7-bit limbs cover it, and the
+    off-grid residual r = x - xq (|r| <= 2^-(g+1), i.e. 2^-23 RELATIVE to
+    the signal) rides one plain f32-HIGHEST matmul into the compensated
+    accumulator -- its own rounding is ~2^-24 OF THE RESIDUAL, vanishing.
+    Power-of-two scales are assembled by bit ops (`_pow2_dyn`), so the
+    dynamic rescaling itself is exact; inputs with |x| outside
+    ~[2^-100, 2^100] would hit the exponent clamp (audio never does)."""
+    m = jnp.max(jnp.abs(x))
+    mb = jax.lax.bitcast_convert_type(m, jnp.int32)
+    g = jnp.where(m > 0, 22 - ((mb >> 23) - 127), 0)
+    xi = jnp.round(x * _pow2_dyn(g)).astype(jnp.int32)
+    xr = x - xi.astype(jnp.float32) * _pow2_dyn(-g)
+    xlimbs = []
+    r = xi
+    for _ in range(4):
+        li = ((r + 64) & 127) - 64
+        xlimbs.append(li.astype(jnp.int8))
+        r = (r - li) >> 7
+    Wq = np.round(W64 * float(1 << w_bits)).astype(np.int64)
+    assert np.abs(Wq).max() < 1 << 62
+    wlimbs = _balanced_limbs_np(Wq, -(-int(np.abs(Wq).max()).bit_length()
+                                      // 7) + 1)
+    inv = _pow2_dyn(-g)
+    s = e = None
+    for i, xl in enumerate(xlimbs):
+        for j, wl in enumerate(wlimbs):
+            P = jnp.matmul(xl, jnp.asarray(wl),
+                           preferred_element_type=jnp.int32)
+            # static 2^(7(i+j)-w_bits) first, dynamic 2^-g second: both
+            # power-of-two multiplies are exact and the split keeps each
+            # factor inside the normal-f32 exponent range
+            v = (P.astype(jnp.float32)
+                 * np.float32(2.0 ** (7 * (i + j) - w_bits))) * inv
+            if s is None:
+                s, e = v, jnp.zeros_like(v)
+            else:
+                s, e = _acc(s, e, v)
+    s, e = _acc(s, e, jnp.matmul(
+        xr, jnp.asarray(W64.astype(np.float32)), precision=_HIGHEST))
+    return s, e
+
+
 _LOG2_LUT_N = 64
 _log2_lut64 = np.log2(1.0 + np.arange(_LOG2_LUT_N + 1) / _LOG2_LUT_N)
 _LOG2C_HI = _log2_lut64.astype(np.float32)
@@ -226,17 +282,39 @@ def _operators64(cfg: MFCCConfig):
 
 
 def mfcc_frames_f64ish(frames: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
-                       *, group: int = 32) -> jnp.ndarray:
+                       *, group: int = 32,
+                       wire_grid: bool = True) -> jnp.ndarray:
     """Compensated double-f32 MFCC on pre-emphasized frames:
     (..., F, nfft) -> (..., F, nceptrums), targeting <=1e-5 vs the float64
     oracle without f64 hardware support.  ``group``: contraction chunk
     length for the DFT/mel stages (shorter = less in-matmul f32
-    accumulation, more VPU compensation work)."""
+    accumulation, more VPU compensation work).  ``wire_grid``: samples lie
+    exactly on the 2^-5 grid (pre-emphasized integer wire samples -- the
+    default contract); pass False for arbitrary-scale float input (e.g.
+    librosa-style [-1, 1] audio), which (a) renormalizes the frames by an
+    EXACT power of two 2^-G into the canonical int16 magnitude band -- a
+    2^G input scale shifts every log-mel value by exactly 2G, which costs
+    nothing in exact math but inflates the DCT stage's f32 partial-sum
+    rounding ~linearly in |G| (measured 1.3e-5 at G=20 unnormalized) --
+    and (b) switches the DFT to the dynamically-scaled limb contraction
+    (`_limb_matmul_auto`).  The log-mel shift moves ONLY c0 (the k>0
+    DCT-II rows sum to zero), restored as c0 += 2G*sqrt(nfilters) through
+    a TwoSum so the restore adds no rounding of its own.  NB outputs are
+    f32: a coefficient's best representable error is half its own ulp,
+    which exceeds 1e-5 once |value| > ~168 (c0 at extreme input scales)."""
     CS64, mel64, dct64 = _operators64(cfg)
     nbins = cfg.nbins_float
     x = frames.astype(jnp.float32)       # int16-range samples: exact
 
-    reim_h, reim_l = _int_limb_matmul(x, CS64)
+    if wire_grid:
+        G = None
+        reim_h, reim_l = _int_limb_matmul(x, CS64)
+    else:
+        m = jnp.max(jnp.abs(x))
+        mb = jax.lax.bitcast_convert_type(m, jnp.int32)
+        G = jnp.where(m > 0, ((mb >> 23) - 127) - 14, 0)
+        x = x * _pow2_dyn(-G)            # exact power-of-two rescale
+        reim_h, reim_l = _limb_matmul_auto(x, CS64)
     re_h, im_h = reim_h[..., :nbins], reim_h[..., nbins:]
     re_l, im_l = reim_l[..., :nbins], reim_l[..., nbins:]
     ph, pl = _square_df(re_h, re_l)
@@ -248,17 +326,28 @@ def mfcc_frames_f64ish(frames: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     y_h, y_l = _log2_df(mh, ml)
 
     out_h, out_l = _df_matmul(y_h, y_l, dct64, min(group, 8))
+    if G is not None:
+        # restore the renormalization's exact c0 shift (see docstring)
+        c0fix = (2.0 * G.astype(jnp.float32)) * np.float32(
+            np.sqrt(cfg.nfilters))
+        s, err = _two_sum(out_h[..., 0], c0fix)
+        out_h = out_h.at[..., 0].set(s)
+        out_l = out_l.at[..., 0].add(err)
     return out_h + out_l
 
 
 def mfcc_batch_f64ish(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
-                      *, group: int = 32) -> jnp.ndarray:
+                      *, group: int = 32,
+                      wire_grid: bool = True) -> jnp.ndarray:
     """Full compensated pipeline on raw signals: (..., T) -> (..., F, ncep).
 
     Pre-emphasis of int16-range samples is EXACT in f32 (x - (31/32)*prev:
     both operands are multiples of 2^-5 below 2^16, so the subtraction
-    needs <= 21 significand bits)."""
+    needs <= 21 significand bits).  With ``wire_grid=False`` (arbitrary
+    float input) pre-emphasis rounds at f32 eps -- a ~2^-24 RELATIVE frame
+    perturbation, i.e. ~1e-7 absolute in the log-mel domain, inside the
+    1e-5 budget (measured: tests/test_float_parity.py)."""
     emph = framing.preemphasis(audio.astype(jnp.float32))
     frames = framing.extract_frames(emph, cfg.nfft, cfg.hop,
                                     windowlen=cfg.windowlen)
-    return mfcc_frames_f64ish(frames, cfg, group=group)
+    return mfcc_frames_f64ish(frames, cfg, group=group, wire_grid=wire_grid)

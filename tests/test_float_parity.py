@@ -78,6 +78,29 @@ def test_f64ish_meets_1e5_target(audio_int16):
     assert np.abs(got - want).max() <= 1e-5
 
 
+def test_f64ish_arbitrary_scale(audio_int16):
+    """wire_grid=False generalizes f64ish beyond the 2^-5 wire grid
+    (ROADMAP item 5): librosa-style [-1, 1] audio and a 2^20-scaled copy
+    both meet the 1e-5 gate vs a float64 oracle of the SAME values --
+    an exact power-of-two renormalization (c0 restored analytically) plus
+    the dynamically-chosen limb grid + exact-residual DFT
+    (df32._limb_matmul_auto) replace the static-grid assumption.  Gate:
+    1e-5 OR two f32 ulps of the true value, elementwise -- a coefficient
+    |v| > ~168 (c0 at extreme scales) cannot beat ulp(v)/2 in an f32
+    output no matter the algorithm (measured: non-c0 error is a
+    scale-invariant ~5e-6; c0 reaches ~1.3 ulp of itself at 2^20)."""
+    import jax
+    from mfcc_tpu.ops import df32
+    fn = jax.jit(lambda a: df32.mfcc_batch_f64ish(a, CFG, wire_grid=False))
+    for scale in (1.0 / 32768.0, 2.0 ** 20):
+        sig = (audio_int16 * scale).astype(np.float32)
+        want = float_ref.mfcc_float(sig.astype(np.float64), CFG)
+        got = np.asarray(fn(jnp.asarray(sig[None])))[0]
+        tol = np.maximum(
+            1e-5, 2 * np.spacing(np.abs(want).astype(np.float32)))
+        assert (np.abs(got - want) <= tol).all(), scale
+
+
 def test_f64ish_reference_wav(reference_wav):
     import jax
     real = reference_wav[: 512 + 90 * 170].astype(np.float32)
