@@ -883,20 +883,43 @@ def mfcc_pallas_recomp_t(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
 
 NBMAX = 4  # lane-tiles per super-block (VMEM cap: ~3.5 MB at 4)
 
+# Split-DFT operator packing.  The natural layout needs 129 cos + 129 sin
+# rows = 258, which the original 272-row operator (two 136-row 8-aligned
+# halves) tiles onto THREE 128-row MXU M-tiles -- 384 row-slots for 256
+# useful rows (sin bins 0 and 128 are identically zero).  True: pack into
+# EXACTLY 256 rows = two M-tiles, cutting the dominant matmul's MXU work by
+# a third: rows [0,128) = cos bins 0..127, rows [128,255) = sin bins
+# 1..127, row 255 = cos bin 128.  The Im block realigns with one circular
+# sublane roll (the roll wraps the cos-128 row into slot 0, which is
+# masked), and bin 128's power rides the already-aligned last 8-row tile
+# through a tiny (nfilters, 8) mel matmul.  Same products, same K, not bit
+# identical only in the ~1e-16 cos(pi/2) twiddle of the old bin-128 path.
+R2_PACK256 = True
+
 
 @functools.lru_cache(maxsize=None)
 def _radix2_operators(cfg: MFCCConfig):
     """Constants for the radix-2 split kernel.
 
-    Returns (csp, we, wo, twc, tws, mela, melb, dct_t):
-      csp  (272, 256): pure DFT-256 matrix, rows [0,129) cos/512, rows
-                       [136, 265) -sin/512 (8-row aligned halves)
+    Returns (csp, we, wo, twc, tws, mela, melb, melc, dct_t); two layouts,
+    selected by R2_PACK256 and distinguished downstream by csp.shape[0]
+    (see the flag comment):
+
+    packed (default):
+      csp  (256, 256): rows [0,128) cos bins 0..127 /512, rows [128,255)
+                       -sin bins 1..127 /512, row 255 cos bin 128 /512
+      twc/tws (128,1): recombination twiddles, j = 0..127
+      mela (32, 128):  mel columns for bins 0..127 (the A rows)
+      melb (32, 128):  mel columns for bins 256-j (col 0 zeroed)
+      melc (32, 8):    col 7 = mel column of bin 128 (the last 8-row tile
+                       of the DFT output; the other 7 columns are zero)
+    original (272-row):
+      csp  (272, 256): rows [0,129) cos/512, rows [136, 265) -sin/512
+                       (8-row aligned halves); twc/tws (136,1);
+                       mela/melb (32, 136) with bins 0..128 in mela;
+                       melc (32, 8) all-zero (unused)
+    shared:
       we/wo (256, 1):  Hamming window at even/odd frame positions
-      twc/tws (136,1): cos/sin(2 pi j / nfft) recombination twiddles
-      mela (32, 136):  mel columns for bins 0..128 (the A rows)
-      melb (32, 136):  mel columns for bins 256-j (the B rows; col 0 and
-                       col 128 zeroed -- bin 256 is out of range and bin
-                       128 is already covered by A)
       dct_t (ncep, 32)
     """
     assert cfg.nfft == 512, \
@@ -906,33 +929,52 @@ def _radix2_operators(cfg: MFCCConfig):
     nh = nfft // 2
     nq = nfft // 4 + 1
     scale = 1.0 / nfft
-    j = np.arange(nq)[:, None]
     m = np.arange(nh)[None, :]
-    csp = np.zeros((272, nh), np.float32)
-    csp[:nq] = np.cos(2 * np.pi * j * m / nh) * scale
-    csp[136:136 + nq] = -np.sin(2 * np.pi * j * m / nh) * scale
     w = tables.float_window(nfft)
     we = w[0::2].astype(np.float32)[:, None]
     wo = w[1::2].astype(np.float32)[:, None]
+    mel_t = tables.float_mel_matrix(cfg.samplerate, cfg.nfft,
+                                    cfg.nfilters)[:nh].T   # (32, 256)
+    dct = tables.dct2_ortho_matrix(cfg.nfilters)[:, : cfg.nceptrums]
+    dct_t = np.ascontiguousarray(dct.T.astype(np.float32))
+    if R2_PACK256:
+        j = np.arange(128)[:, None]
+        csp = np.zeros((256, nh), np.float32)
+        csp[:128] = np.cos(2 * np.pi * j * m / nh) * scale
+        csp[128:255] = -np.sin(2 * np.pi * j[1:] * m / nh) * scale
+        csp[255] = np.cos(2 * np.pi * 128 * m[0] / nh) * scale
+        twc = np.cos(2 * np.pi * np.arange(128) / nfft) \
+            .astype(np.float32)[:, None]
+        tws = np.sin(2 * np.pi * np.arange(128) / nfft) \
+            .astype(np.float32)[:, None]
+        mela = np.ascontiguousarray(mel_t[:, :128])
+        melb = np.zeros((cfg.nfilters, 128), np.float32)
+        for jj in range(1, 128):
+            melb[:, jj] = mel_t[:, 256 - jj]
+        melc = np.zeros((cfg.nfilters, 8), np.float32)
+        melc[:, 7] = mel_t[:, 128]
+        return csp, we, wo, twc, tws, mela, melb, melc, dct_t
+    j = np.arange(nq)[:, None]
+    csp = np.zeros((272, nh), np.float32)
+    csp[:nq] = np.cos(2 * np.pi * j * m / nh) * scale
+    csp[136:136 + nq] = -np.sin(2 * np.pi * j * m / nh) * scale
     twc = np.zeros((136, 1), np.float32)
     tws = np.zeros((136, 1), np.float32)
     twc[:nq, 0] = np.cos(2 * np.pi * np.arange(nq) / nfft)
     tws[:nq, 0] = np.sin(2 * np.pi * np.arange(nq) / nfft)
-    mel_t = tables.float_mel_matrix(cfg.samplerate, cfg.nfft,
-                                    cfg.nfilters)[:nh].T   # (32, 256)
     mela = np.zeros((cfg.nfilters, 136), np.float32)
     mela[:, :nq] = mel_t[:, :nq]
     melb = np.zeros((cfg.nfilters, 136), np.float32)
     for jj in range(1, 128):
         melb[:, jj] = mel_t[:, 256 - jj]
-    dct = tables.dct2_ortho_matrix(cfg.nfilters)[:, : cfg.nceptrums]
-    dct_t = np.ascontiguousarray(dct.T.astype(np.float32))
-    return csp, we, wo, twc, tws, mela, melb, dct_t
+    melc = np.zeros((cfg.nfilters, 8), np.float32)
+    return csp, we, wo, twc, tws, mela, melb, melc, dct_t
 
 
 def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
-                        twc_ref, tws_ref, mela_ref, melb_ref, dct_ref,
-                        out_ref, fbuf2, *, nfft, hop, ncep, bf, nseg, nbk):
+                        twc_ref, tws_ref, mela_ref, melb_ref, melc_ref,
+                        dct_ref, out_ref, fbuf2, *, nfft, hop, ncep, bf,
+                        nseg, nbk):
     L = nbk * bf
     tiles = [xm_ref[0, i] for i in range(nbk)] + [xx_ref[0, 0]]
     C = jnp.concatenate(tiles, axis=1)               # (hop, (nbk+1)*bf)
@@ -959,43 +1001,62 @@ def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
             fbuf2[p0 // 2: p0 // 2 + ho, L + b * bf: L + (b + 1) * bf] = \
                 Eod[:ho, lane: lane + bf]
     out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
-                              tws_ref, mela_ref, melb_ref, dct_ref, L)
+                              tws_ref, mela_ref, melb_ref, melc_ref,
+                              dct_ref, L)
 
 
 def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
-                 mela_ref, melb_ref, dct_ref, L):
+                 mela_ref, melb_ref, melc_ref, dct_ref, L):
     """Shared radix-2 pipeline tail on a [evens | odds] frame scratch
     (nfft/2, 2L): window -> one split-DFT matmul -> twiddle recombination
-    -> power -> permuted-mel -> log2 -> DCT.  Returns (ncep, L)."""
+    -> power -> permuted-mel -> log2 -> DCT.  Returns (ncep, L).
+    Handles both operator layouts (see R2_PACK256), keyed on csp rows."""
+    hi = jax.lax.Precision.HIGHEST
     fbuf2[:, :L] = fbuf2[:, :L] * we_ref[:]
     fbuf2[:, L:] = fbuf2[:, L:] * wo_ref[:]
     eo = jnp.dot(csp_ref[:], fbuf2[:],
                  preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)    # (272, 2L)
-    Ere, Eim = eo[:136, :L], eo[136:272, :L]
-    Ore, Oim = eo[:136, L:], eo[136:272, L:]
+                 precision=hi)                      # (256 or 272, 2L)
+    if csp_ref.shape[0] == 256:                     # packed two-M-tile layout
+        Re = eo[:128]                               # cos bins 0..127
+        # Im: sin bins 1..127 live one row early; the circular roll wraps
+        # the cos-128 row (255) into slot 0, where Im(0) == 0 -- mask it
+        Sroll = pltpu.roll(eo[128:256], 1, 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, Sroll.shape, 0)
+        Im = jnp.where(rows == 0, jnp.float32(0), Sroll)
+        Ere, Ore = Re[:, :L], Re[:, L:]
+        Eim, Oim = Im[:, :L], Im[:, L:]
+    else:
+        Ere, Eim = eo[:136, :L], eo[136:272, :L]
+        Ore, Oim = eo[:136, L:], eo[136:272, L:]
     twc, tws = twc_ref[:], tws_ref[:]
     Tre = twc * Ore + tws * Oim                     # W^j = cos - i sin
     Tim = twc * Oim - tws * Ore
-    Are, Aim = Ere + Tre, Eim + Tim                 # bins 0..128
+    Are, Aim = Ere + Tre, Eim + Tim                 # bins 0..127 (0..128)
     Bre, Bim = Ere - Tre, Eim - Tim                 # bins 256-j (conj)
     pa = Are * Are + Aim * Aim
     pb = Bre * Bre + Bim * Bim
     melspec = (jnp.dot(mela_ref[:], pa,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       preferred_element_type=jnp.float32, precision=hi)
                + jnp.dot(melb_ref[:], pb,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST))
+                         preferred_element_type=jnp.float32, precision=hi))
+    if csp_ref.shape[0] == 256:
+        # bin 128: A = E - i O with Im == 0 -> |A|^2 = Ere^2 + Ore^2; its
+        # cos row sits in the (aligned) last 8-row tile, whose squares ride
+        # a tiny matmul through melc (only column 7 is nonzero)
+        tail = eo[248:256]
+        sq = tail[:, :L] * tail[:, :L] + tail[:, L:] * tail[:, L:]
+        melspec = melspec + jnp.dot(
+            melc_ref[:], sq, preferred_element_type=jnp.float32,
+            precision=hi)
     logmel = jnp.log2(melspec)
     return jnp.dot(dct_ref[:], logmel,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   preferred_element_type=jnp.float32, precision=hi)
 
 
 def _mfcc_frames_float_kernel(x_ref, csp_ref, we_ref, wo_ref, twc_ref,
-                              tws_ref, mela_ref, melb_ref, dct_ref,
-                              out_ref, fbuf2, *, nfft, bf):
+                              tws_ref, mela_ref, melb_ref, melc_ref,
+                              dct_ref, out_ref, fbuf2, *, nfft, bf):
     """(1, nfft, bf) pre-emphasized positions-major frames -> (ncep, bf):
     the radix-2 pipeline tail without framing (the streaming/serving entry,
     mirroring pallas_int.mfcc_int_pallas_frames)."""
@@ -1006,7 +1067,8 @@ def _mfcc_frames_float_kernel(x_ref, csp_ref, we_ref, wo_ref, twc_ref,
     fbuf2[:, :bf] = xs[:, 0]
     fbuf2[:, bf:] = xs[:, 1]
     out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
-                              tws_ref, mela_ref, melb_ref, dct_ref, bf)
+                              tws_ref, mela_ref, melb_ref, melc_ref,
+                              dct_ref, bf)
 
 
 def mfcc_pallas_frames_float(frames: jnp.ndarray,

@@ -114,7 +114,7 @@ def _rref(ref):
 
 def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
                          csp_ref, we_ref, wo_ref, twc_ref, tws_ref,
-                         mela_ref, melb_ref, dct_ref,
+                         mela_ref, melb_ref, melc_ref, dct_ref,
                          out_ref, nbuf_ref, abuf, fbuf2, *,
                          nfft, hop, P, C, Wp, F, nbits, bs):
     Ct = _rref(chk_ref)
@@ -144,7 +144,8 @@ def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
         fbuf2[:, f * bs:(f + 1) * bs] = Eev[r0: r0 + nh, :]
         fbuf2[:, L + f * bs: L + (f + 1) * bs] = Eod[r0: r0 + nh, :]
     out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
-                              tws_ref, mela_ref, melb_ref, dct_ref, L)
+                              tws_ref, mela_ref, melb_ref, melc_ref,
+                              dct_ref, L)
 
 
 def _stream_int_kernel(buf_ref, chk_ref, start_ref, prev_ref,

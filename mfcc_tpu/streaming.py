@@ -271,6 +271,12 @@ class StreamingMFCC:
             self._step = dev_step
         else:
             self._step = base_step
+        self._seen_widths: set = set()
+
+    # Each distinct chunk width C jit-compiles the step once -- seconds on a
+    # local backend, MINUTES per shape through a remote-compile tunnel.  Warn
+    # once when a caller drifts past this many widths instead of padding.
+    CHUNK_WIDTH_WARN = 4
 
     def _device_ctx(self):
         import contextlib
@@ -287,7 +293,9 @@ class StreamingMFCC:
     def step(self, chunks, state: StreamState, reset=None, lengths=None):
         """Process one chunk per stream.
 
-        chunks:  (S, C) raw samples (any C >= 1; each distinct C compiles once)
+        chunks:  (S, C) raw samples (any C >= 1; each distinct C compiles once
+                 -- after CHUNK_WIDTH_WARN distinct widths a one-time warning
+                 suggests padding to a fixed C with ``lengths``)
         reset:   (S,) bool -- soft-reset flags consumed before the chunk
         lengths: (S,) int -- number of REAL samples per chunk (default C);
                  trailing padding is ignored by the carry and the frame mask,
@@ -295,6 +303,18 @@ class StreamingMFCC:
         returns (features (S, F_max, ncep), mask (S, F_max), new_state);
         mask[s, k] marks which of the F_max frame slots are real frames.
         """
+        width = np.shape(chunks)[1]
+        if width not in self._seen_widths:
+            self._seen_widths.add(width)
+            if len(self._seen_widths) == self.CHUNK_WIDTH_WARN + 1:
+                import warnings
+                warnings.warn(
+                    f"StreamingMFCC.step has now compiled for "
+                    f"{len(self._seen_widths)} distinct chunk widths "
+                    f"{sorted(self._seen_widths)}; each new width triggers a "
+                    "fresh jit compile (minutes on a remote-compile backend). "
+                    "Pad chunks to one fixed width and pass lengths= instead.",
+                    stacklevel=2)
         with self._device_ctx():
             chunks = jnp.asarray(chunks)
             if not (chunks.dtype == jnp.int16 and lengths is None

@@ -107,3 +107,26 @@ def test_interpret_int_frames(cpu, sig2):
         got = np.asarray(pallas_int.mfcc_int_pallas_frames(
             frames, CFG, interpret=True))
     assert np.array_equal(got, _int_want(sig2))
+
+
+def test_interpret_float_radix2_operator_layouts_agree(cpu, sig2):
+    """Both split-DFT operator layouts (R2_PACK256: packed 256-row
+    two-M-tile vs original 272-row) compute the same products -- outputs
+    agree to f32 noise (the only math difference is the old bin-128 path's
+    ~1e-16 cos(pi/2) twiddle) and both hold the oracle gate."""
+    from mfcc_tpu.ref import float_ref
+    want = float_ref.mfcc_float(np.asarray(sig2[0], np.float64), CFG)
+    outs = {}
+    saved = pallas_mfcc.R2_PACK256
+    try:
+        for packed in (True, False):
+            pallas_mfcc.R2_PACK256 = packed
+            pallas_mfcc._radix2_operators.cache_clear()
+            with jax.default_device(cpu):
+                outs[packed] = np.asarray(pallas_mfcc.mfcc_pallas_radix2(
+                    sig2.astype(np.float32), CFG, interpret=True))
+            assert np.abs(outs[packed][0] - want).max() < 5e-4
+    finally:
+        pallas_mfcc.R2_PACK256 = saved
+        pallas_mfcc._radix2_operators.cache_clear()
+    assert np.abs(outs[True] - outs[False]).max() < 1e-5

@@ -152,3 +152,23 @@ def test_state_is_checkpointable(audio_int16):
     want = _batch_float(sig[: 4 * C])
     assert got.shape == want.shape
     assert np.abs(got - want).max() < 1e-3
+
+
+def test_chunk_width_drift_warns_once(audio_int16):
+    """Each distinct chunk width compiles the step once (minutes on a
+    remote-compile backend); past StreamingMFCC.CHUNK_WIDTH_WARN distinct
+    widths the step warns ONCE, pointing at the pad + lengths= recipe
+    (round-2 VERDICT weak item 8)."""
+    import warnings
+    sm = StreamingMFCC(CFG)
+    state = sm.init(1)
+    sig = np.tile(audio_int16, 3)[None, :]      # 3576 samples >= sum(widths)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        off = 0
+        for C in (513, 514, 515, 516, 517, 518):
+            _, _, state = sm.step(sig[:, off:off + C], state)
+            off += C
+    hits = [x for x in w if "distinct chunk widths" in str(x.message)]
+    assert len(hits) == 1
+    assert "lengths=" in str(hits[0].message)
