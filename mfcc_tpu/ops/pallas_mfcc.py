@@ -896,6 +896,21 @@ NBMAX = 4  # lane-tiles per super-block (VMEM cap: ~3.5 MB at 4)
 # identical only in the ~1e-16 cos(pi/2) twiddle of the old bin-128 path.
 R2_PACK256 = True
 
+# Where the hop-tile transpose happens for the radix-2 batch kernel.  The
+# kernel wants positions-major (hop, bf) tiles; audio arrives time-major.
+# True: ship UNTRANSPOSED (bf, hop) tiles (a free reshape on the host) and
+# transpose each tile in VMEM after the f32 upcast -- Mosaic lowers the
+# (128, 170) value transpose onto the hardware transpose path.  "t16":
+# transpose in the packed i16 domain BEFORE the upcast (half the bytes
+# through the transpose path).  False: the original host-side XLA
+# swapaxes, measured at ~3.3 ms/run on the i16 input (35% of the whole
+# pipeline; docs/BENCH.md round 3h) -- XLA's 16-bit sub-word transpose is
+# ~10x off HBM speed-of-light.  (A fourth variant -- host-padding the
+# tile lanes hop->256 so the VMEM transposes are clean 128-lane blocks --
+# measured WORSE: the bulk pad copy costs more than the masked 42-lane
+# remainder it removes; docs/BENCH.md round 3h.)
+R2_KERNEL_T = True
+
 
 @functools.lru_cache(maxsize=None)
 def _radix2_operators(cfg: MFCCConfig):
@@ -974,12 +989,19 @@ def _radix2_operators(cfg: MFCCConfig):
 def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
                         twc_ref, tws_ref, mela_ref, melb_ref, melc_ref,
                         dct_ref, out_ref, fbuf2, *, nfft, hop, ncep, bf,
-                        nseg, nbk):
+                        nseg, nbk, kernel_t=False, stop_after=None):
     L = nbk * bf
     tiles = [xm_ref[0, i] for i in range(nbk)] + [xx_ref[0, 0]]
+    if kernel_t == "t16":            # transpose packed, then upcast
+        tiles = [t.T.astype(jnp.float32) for t in tiles]
+    elif kernel_t:                   # upcast, then HW transpose
+        tiles = [t.astype(jnp.float32).T for t in tiles]
     C = jnp.concatenate(tiles, axis=1)               # (hop, (nbk+1)*bf)
     if C.dtype != jnp.float32:
         C = C.astype(jnp.float32)    # int16 wire input: upcast in VMEM
+    if stop_after == "raw":       # profiling cut: DMA + concat + upcast
+        out_ref[0] = C[:ncep, :L]
+        return
     rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
     lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
     up = pltpu.roll(C, 1, 0)                        # row t <- row t-1
@@ -987,9 +1009,15 @@ def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
     prev_row0 = jnp.where(lanecol == 0, prev_ref[0, 0, 0], wrapped)
     prev = jnp.where(rows == 0, prev_row0, up)
     E = C - jnp.float32(framing.EMPHASIS_COEFF) * prev
+    if stop_after == "pre":       # profiling cut: + pre-emphasis
+        out_ref[0] = E[:ncep, :L]
+        return
     # even/odd position split: one value reshape (hop even)
     Es = E.reshape(hop // 2, 2, C.shape[1])
     Eev, Eod = Es[:, 0], Es[:, 1]                    # (hop/2, Ltot)
+    if stop_after == "emph":      # profiling cut: DMA + concat + preemph
+        out_ref[0] = Eev[:ncep, :L] + Eod[:ncep, :L]
+        return
     for b in range(nbk):
         for q in range(nseg):
             p0 = q * hop                             # even for even hop
@@ -1000,23 +1028,35 @@ def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
                 Eev[:he, lane: lane + bf]
             fbuf2[p0 // 2: p0 // 2 + ho, L + b * bf: L + (b + 1) * bf] = \
                 Eod[:ho, lane: lane + bf]
+    if stop_after == "frames":    # profiling cut: DMA + preemph + rebuild
+        out_ref[0] = fbuf2[:ncep, :L]
+        return
     out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
                               tws_ref, mela_ref, melb_ref, melc_ref,
-                              dct_ref, L)
+                              dct_ref, L, stop_after=stop_after)
 
 
 def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
-                 mela_ref, melb_ref, melc_ref, dct_ref, L):
+                 mela_ref, melb_ref, melc_ref, dct_ref, L,
+                 stop_after: str | None = None):
     """Shared radix-2 pipeline tail on a [evens | odds] frame scratch
     (nfft/2, 2L): window -> one split-DFT matmul -> twiddle recombination
     -> power -> permuted-mel -> log2 -> DCT.  Returns (ncep, L).
-    Handles both operator layouts (see R2_PACK256), keyed on csp rows."""
+    Handles both operator layouts (see R2_PACK256), keyed on csp rows.
+
+    ``stop_after`` ("dft" | "power" | "mel"): profiling hook -- return
+    that stage's leading ncep rows so Mosaic DCEs the tail and fused
+    timing deltas attribute per-stage cost (the float twin of
+    pallas_int._post_fft_stages(stop_after=); never set in production)."""
     hi = jax.lax.Precision.HIGHEST
+    ncep = dct_ref.shape[0]
     fbuf2[:, :L] = fbuf2[:, :L] * we_ref[:]
     fbuf2[:, L:] = fbuf2[:, L:] * wo_ref[:]
     eo = jnp.dot(csp_ref[:], fbuf2[:],
                  preferred_element_type=jnp.float32,
                  precision=hi)                      # (256 or 272, 2L)
+    if stop_after == "dft":
+        return eo[:ncep, :L]
     if csp_ref.shape[0] == 256:                     # packed two-M-tile layout
         Re = eo[:128]                               # cos bins 0..127
         # Im: sin bins 1..127 live one row early; the circular roll wraps
@@ -1036,6 +1076,8 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
     Bre, Bim = Ere - Tre, Eim - Tim                 # bins 256-j (conj)
     pa = Are * Are + Aim * Aim
     pb = Bre * Bre + Bim * Bim
+    if stop_after == "power":
+        return pa[:ncep] + pb[:ncep]
     melspec = (jnp.dot(mela_ref[:], pa,
                        preferred_element_type=jnp.float32, precision=hi)
                + jnp.dot(melb_ref[:], pb,
@@ -1049,6 +1091,8 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
         melspec = melspec + jnp.dot(
             melc_ref[:], sq, preferred_element_type=jnp.float32,
             precision=hi)
+    if stop_after == "mel":
+        return melspec
     logmel = jnp.log2(melspec)
     return jnp.dot(dct_ref[:], logmel,
                    preferred_element_type=jnp.float32, precision=hi)
@@ -1113,8 +1157,8 @@ def mfcc_pallas_frames_float(frames: jnp.ndarray,
 
 
 def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
-                       *, bf: int = BF,
-                       interpret: bool = False) -> jnp.ndarray:
+                       *, bf: int = BF, interpret: bool = False,
+                       stop_after: str | None = None) -> jnp.ndarray:
     """Fused radix-2 split-DFT kernel on RAW audio:
     (..., T) -> (..., F, nceptrums).  f32-HIGHEST throughout.
 
@@ -1146,7 +1190,11 @@ def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     need = Lp * bf * hop
     if need > T:
         audio = jnp.pad(audio, ((0, 0), (0, need - T)))
-    T4 = audio[:, : need].reshape(S, Lp, bf, hop).swapaxes(-1, -2)
+    if R2_KERNEL_T:
+        # free reshape; each (bf, hop) tile transposes in VMEM (flag note)
+        T4 = audio[:, : need].reshape(S, Lp, bf, hop)
+    else:
+        T4 = audio[:, : need].reshape(S, Lp, bf, hop).swapaxes(-1, -2)
     # raw sample immediately before each super-block (0 at stream start)
     prev_idx = jnp.maximum(jnp.arange(nchunks) * nbk * bf * hop - 1, 0)
     prevs = (audio[:, prev_idx].astype(jnp.float32)
@@ -1154,15 +1202,17 @@ def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
 
     consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
 
+    tile = (bf, hop) if R2_KERNEL_T else (hop, bf)
     out = pl.pallas_call(
         functools.partial(_mfcc_radix2_kernel, nfft=nfft, hop=hop,
-                          ncep=ncep, bf=bf, nseg=nseg, nbk=nbk),
+                          ncep=ncep, bf=bf, nseg=nseg, nbk=nbk,
+                          kernel_t=R2_KERNEL_T, stop_after=stop_after),
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, nbk, hop, bf),
+            pl.BlockSpec((1, nbk) + tile,
                          lambda n, nc=nchunks: (n // nc, n % nc, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hop, bf),
+            pl.BlockSpec((1, 1) + tile,
                          lambda n, nc=nchunks, k=nbk:
                          (n // nc, (n % nc) * k + k, 0, 0),
                          memory_space=pltpu.VMEM),
