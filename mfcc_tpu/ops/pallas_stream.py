@@ -104,6 +104,15 @@ def _barrel_sublane(x, start_row, Wp: int, nbits: int):
     return x
 
 
+# Ship the raw chunk STREAM-MAJOR (S, C) -- no XLA transpose on the hot
+# serving path -- and transpose each (bs, C) block in VMEM on the hardware
+# transpose path (the serving twin of pallas_mfcc.R2_KERNEL_T; the XLA
+# 16-bit transpose it replaces was ~10-15% of the serving step).  The
+# carry/start/prev operands keep the lane-sliced transposed layout (the
+# carry never round-trips under transposed_state anyway).
+STREAM_CHUNK_T = True
+
+
 def _rref(ref):
     """Per-stream operand block: (X, bs) lane-sliced, or (1, X, bs) when the
     narrow-lane path reshapes the stream axis into the grid (bs < 128 lane
@@ -116,10 +125,13 @@ def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
                          csp_ref, we_ref, wo_ref, twc_ref, tws_ref,
                          mela_ref, melb_ref, melc_ref, dct_ref,
                          out_ref, nbuf_ref, abuf, fbuf2, *,
-                         nfft, hop, P, C, Wp, F, nbits, bs):
+                         nfft, hop, P, C, Wp, F, nbits, bs,
+                         chunk_t=False):
     Ct = _rref(chk_ref)
     if Ct.dtype != jnp.float32:
         Ct = Ct.astype(jnp.float32)        # int16 wire input: upcast in VMEM
+    if chunk_t:                            # (bs, C) block: HW transpose
+        Ct = Ct.T
     rows = jax.lax.broadcasted_iota(jnp.int32, (C, bs), 0)
     up = pltpu.roll(Ct, 1, 0)                       # row t <- row t-1
     pr = jnp.where(rows == 0, _rref(prev_ref), up)
@@ -151,9 +163,12 @@ def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
 def _stream_int_kernel(buf_ref, chk_ref, start_ref, prev_ref,
                        wincol_ref, tw_ref, fb_ref, dtw_ref,
                        out_ref, nbuf_ref, abuf, fbuf, dbuf_r, *,
-                       cfg: MFCCConfig, fb_shift, P, C, Wp, F, nbits, bs):
+                       cfg: MFCCConfig, fb_shift, P, C, Wp, F, nbits, bs,
+                       chunk_t=False):
     nfft, hop = cfg.nfft, cfg.hop
     Ct = _rref(chk_ref).astype(jnp.int32)
+    if chunk_t:                            # (bs, C) block: HW transpose
+        Ct = Ct.T
     rows = jax.lax.broadcasted_iota(jnp.int32, (C, bs), 0)
     up = pltpu.roll(Ct, 1, 0)
     pr = jnp.where(rows == 0, _rref(prev_ref), up)
@@ -193,27 +208,46 @@ def _pad_streams(arr, Sp):
     return arr
 
 
-def _stream_operand_layout(arrs, bs, nb, Sp, carry_dtype):
+def _stream_operand_layout(arrs, bs, nb, Sp, carry_dtype, chunk_t=False):
     """Kernel operands + specs for the per-stream arrays [buf (P, Sp),
-    chunk (C, Sp), start (1, Sp), prev (1, Sp)] and the new-carry output.
+    chunk (C, Sp) -- or STREAM-MAJOR (Sp, C) when ``chunk_t`` (see
+    STREAM_CHUNK_T) -- start (1, Sp), prev (1, Sp)] and the new-carry
+    output.
 
-    bs == BS: lane-sliced 2D blocks over the (X, Sp) arrays.  bs < BS
-    (long chunks, see _block_streams): Mosaic rejects lane blocks narrower
-    than 128 unless the block spans the whole lane dim, so the stream axis
-    splits into the grid host-side ((X, Sp) -> (nb, X, bs), a reshape +
-    transpose XLA pass on the narrow path only) and each block covers its
-    full (X, bs) tail."""
+    bs == BS: lane-sliced 2D blocks over the (X, Sp) arrays (the chunk_t
+    chunk is SUBLANE-sliced (bs, C) instead).  bs < BS (long chunks, see
+    _block_streams): Mosaic rejects lane blocks narrower than 128 unless
+    the block spans the whole lane dim, so the stream axis splits into the
+    grid host-side ((X, Sp) -> (nb, X, bs), a reshape + transpose XLA pass
+    on the narrow path only; the chunk_t chunk's (Sp, C) -> (nb, bs, C) is
+    a FREE reshape) and each block covers its full (X, bs) tail."""
     P = arrs[0].shape[0]
+
+    def spec_of(i, a):
+        if chunk_t and i == 1:
+            return pl.BlockSpec((bs, a.shape[1]), lambda n: (n, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((a.shape[0], bs), lambda n: (0, n),
+                            memory_space=pltpu.VMEM)
+
     if bs == BS:
-        specs = [pl.BlockSpec((a.shape[0], bs), lambda n: (0, n),
-                              memory_space=pltpu.VMEM) for a in arrs]
+        specs = [spec_of(i, a) for i, a in enumerate(arrs)]
         nspec = pl.BlockSpec((P, bs), lambda n: (0, n),
                              memory_space=pltpu.VMEM)
         nshape = jax.ShapeDtypeStruct((P, Sp), carry_dtype)
         return list(arrs), specs, nspec, nshape
-    ins = [a.reshape(a.shape[0], nb, bs).transpose(1, 0, 2) for a in arrs]
-    specs = [pl.BlockSpec((1, a.shape[0], bs), lambda n: (n, 0, 0),
-                          memory_space=pltpu.VMEM) for a in arrs]
+    ins, specs = [], []
+    for i, a in enumerate(arrs):
+        if chunk_t and i == 1:
+            ins.append(a.reshape(nb, bs, a.shape[1]))
+            specs.append(pl.BlockSpec((1, bs, a.shape[1]),
+                                      lambda n: (n, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        else:
+            ins.append(a.reshape(a.shape[0], nb, bs).transpose(1, 0, 2))
+            specs.append(pl.BlockSpec((1, a.shape[0], bs),
+                                      lambda n: (n, 0, 0),
+                                      memory_space=pltpu.VMEM))
     nspec = pl.BlockSpec((1, P, bs), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM)
     nshape = jax.ShapeDtypeStruct((nb, P, bs), carry_dtype)
@@ -241,9 +275,10 @@ def stream_step_float(buffer, chunk, start, prev,
     beyond each stream's valid count are garbage the caller masks.
 
     ``transposed_state=True``: the carry buffer is stored (P, S) -- the
-    kernel's native layout -- so the step's only XLA relayout is the chunk
-    transpose (the serving loop's state never round-trips a transpose);
-    new_buffer comes back (P, S) likewise."""
+    kernel's native layout -- so the serving loop's state never
+    round-trips a transpose; with STREAM_CHUNK_T the raw chunk also ships
+    stream-major and transposes in VMEM, leaving the step with NO bulk
+    XLA relayout.  new_buffer comes back (P, S) likewise."""
     if transposed_state:
         P0, S = buffer.shape
     else:
@@ -263,17 +298,20 @@ def stream_step_float(buffer, chunk, start, prev,
             bufT = jnp.pad(bufT, ((0, 0), (0, Sp - S)))
     else:
         bufT = _pad_streams(buffer.astype(jnp.float32), Sp).T
-    chkT = _pad_streams(chunk, Sp).T
+    chk = (_pad_streams(chunk, Sp) if STREAM_CHUNK_T
+           else _pad_streams(chunk, Sp).T)
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.float32)[:, None], Sp).T
     consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
     L = F * bs
 
     ins, in_specs, nbuf_spec, nbuf_shape = _stream_operand_layout(
-        [bufT, chkT, startr, prevr], bs, nb, Sp, jnp.float32)
+        [bufT, chk, startr, prevr], bs, nb, Sp, jnp.float32,
+        chunk_t=STREAM_CHUNK_T)
     out, nbuf = pl.pallas_call(
         functools.partial(_stream_float_kernel, nfft=nfft, hop=hop, P=P,
-                          C=C, Wp=Wp, F=F, nbits=nbits, bs=bs),
+                          C=C, Wp=Wp, F=F, nbits=nbits, bs=bs,
+                          chunk_t=STREAM_CHUNK_T),
         grid=(nb,),
         in_specs=in_specs + [
             pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
@@ -330,7 +368,8 @@ def stream_step_int(buffer, chunk, start, prev,
             bufT = jnp.pad(bufT, ((0, 0), (0, Sp - S)))
     else:
         bufT = _pad_streams(buffer.astype(jnp.int32), Sp).T
-    chkT = _pad_streams(chunk, Sp).T
+    chk = (_pad_streams(chunk, Sp) if STREAM_CHUNK_T
+           else _pad_streams(chunk, Sp).T)
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.int32)[:, None], Sp).T
 
@@ -345,10 +384,12 @@ def stream_step_int(buffer, chunk, start, prev,
     L = F * bs
 
     ins, in_specs, nbuf_spec, nbuf_shape = _stream_operand_layout(
-        [bufT, chkT, startr, prevr], bs, nb, Sp, jnp.int32)
+        [bufT, chk, startr, prevr], bs, nb, Sp, jnp.int32,
+        chunk_t=STREAM_CHUNK_T)
     out, nbuf = pl.pallas_call(
         functools.partial(_stream_int_kernel, cfg=cfg, fb_shift=fb_shift,
-                          P=P, C=C, Wp=Wp, F=F, nbits=nbits, bs=bs),
+                          P=P, C=C, Wp=Wp, F=F, nbits=nbits, bs=bs,
+                          chunk_t=STREAM_CHUNK_T),
         grid=(nb,),
         in_specs=in_specs + [
             pl.BlockSpec((nfft, 1), lambda n: (0, 0),

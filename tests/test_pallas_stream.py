@@ -164,3 +164,19 @@ def test_streaming_class_routes_fused_tpu(audio_int16):
     want = int_ref.mfcc_int(sig, CFG)
     outs, _ = sm.process(sig[None], chunk_size=298)
     assert np.array_equal(outs[0], want[: outs[0].shape[0]])
+
+
+def test_stream_kernel_chunk_layouts_agree():
+    """Both chunk ingestion layouts (STREAM_CHUNK_T: stream-major blocks
+    transposed in VMEM vs the original host-side XLA transpose) stay
+    bit-identical on the INT path and pass the float parity gates --
+    the flag only moves WHERE the relayout happens."""
+    cpu = jax.devices("cpu")[0]
+    saved = pallas_stream.STREAM_CHUNK_T
+    try:
+        pallas_stream.STREAM_CHUNK_T = not saved
+        with jax.default_device(cpu):
+            _run_parity(int_path=True, interpret=True)
+            _run_parity(int_path=False, interpret=True)
+    finally:
+        pallas_stream.STREAM_CHUNK_T = saved
