@@ -265,6 +265,48 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
     return out
 
 
+def bench_ablate(cfg, S=1024, secs=4.0):
+    """Per-stage cost attribution of the shipped radix-2 i16 kernel via
+    the in-kernel truncation hook (docs/BENCH.md round 3h methodology);
+    prints a cumulative table to stderr.  Not part of the JSON line --
+    run explicitly with --ablate (each cut is a fresh Mosaic compile)."""
+    import jax
+    import jax.numpy as jnp
+    from mfcc_tpu.ops import pallas_mfcc
+
+    T = cfg.nfft + int(round((secs * cfg.samplerate - cfg.nfft)
+                             / cfg.hop)) * cfg.hop
+    F = cfg.n_frames(T)
+    x = jax.device_put(jnp.asarray(make_audio(S, T), jnp.int16))
+    int(jnp.abs(x).max())
+    reps, iters = 8, 3
+    full = None
+    for stop in (None, "raw", "pre", "emph", "frames", "dft", "power",
+                 "mel"):
+        base = lambda a, st=stop: pallas_mfcc.mfcc_pallas_radix2(
+            a, cfg, stop_after=st)
+
+        def repfn(a, s, base=base):
+            return jnp.stack([base(a + (s + r))[0, 0, 0]
+                              for r in range(reps)])
+        fn = jax.jit(repfn)
+        float(fn(x, jnp.asarray(0, jnp.int16)).sum())
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            acc = [fn(x, jnp.asarray(1 + 10 * rep + i, jnp.int16))
+                   for i in range(iters)]
+            float(jnp.stack(acc).sum())
+            best = min(best, (time.perf_counter() - t0) / (iters * reps))
+        if stop is None:
+            full = best
+            print(f"# ablate full: {best*1e3:7.3f} ms/run "
+                  f"({S*F/best/1e6:.2f} Mf/s)", file=sys.stderr)
+        else:
+            print(f"# ablate {stop:>6s}: {best*1e3:7.3f} ms/run "
+                  f"(cum {100*best/full:.0f}%)", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -272,12 +314,19 @@ def main():
     ap.add_argument("--streams", type=int, default=None)
     ap.add_argument("--seconds", type=float, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--ablate", action="store_true",
+                    help="print the radix-2 per-stage cost table and exit")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from mfcc_tpu.config import MFCCConfig
     cfg = MFCCConfig()
+
+    if args.ablate:
+        bench_ablate(cfg, S=args.streams or 1024,
+                     secs=args.seconds or 4.0)
+        return 0
 
     if args.quick:
         S, T, iters = 64, 512 + 93 * 170, 6
