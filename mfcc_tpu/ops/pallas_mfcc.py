@@ -1100,13 +1100,18 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
 
 def _mfcc_frames_float_kernel(x_ref, csp_ref, we_ref, wo_ref, twc_ref,
                               tws_ref, mela_ref, melb_ref, melc_ref,
-                              dct_ref, out_ref, fbuf2, *, nfft, bf):
-    """(1, nfft, bf) pre-emphasized positions-major frames -> (ncep, bf):
-    the radix-2 pipeline tail without framing (the streaming/serving entry,
-    mirroring pallas_int.mfcc_int_pallas_frames)."""
+                              dct_ref, out_ref, fbuf2, *, nfft, bf,
+                              kernel_t=False):
+    """(1, nfft, bf) pre-emphasized positions-major frames -- or
+    (1, bf, nfft) frame-major when ``kernel_t`` (R2_KERNEL_T), transposed
+    in VMEM -- -> (ncep, bf): the radix-2 pipeline tail without framing
+    (the streaming/serving entry, mirroring
+    pallas_int.mfcc_int_pallas_frames)."""
     x = x_ref[0]
     if x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
+    if kernel_t:
+        x = x.T
     xs = x.reshape(nfft // 2, 2, bf)
     fbuf2[:, :bf] = xs[:, 0]
     fbuf2[:, bf:] = xs[:, 1]
@@ -1136,13 +1141,17 @@ def mfcc_pallas_frames_float(frames: jnp.ndarray,
     Mp = nblocks * BF
     if Mp > M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    xT = x.reshape(nblocks, BF, nfft).swapaxes(-1, -2)   # (nb, nfft, BF)
+    if R2_KERNEL_T:
+        xT = x.reshape(nblocks, BF, nfft)       # free; transposed in VMEM
+    else:
+        xT = x.reshape(nblocks, BF, nfft).swapaxes(-1, -2)  # (nb, nfft, BF)
 
     consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
     out = pl.pallas_call(
-        functools.partial(_mfcc_frames_float_kernel, nfft=nfft, bf=BF),
+        functools.partial(_mfcc_frames_float_kernel, nfft=nfft, bf=BF,
+                          kernel_t=bool(R2_KERNEL_T)),
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((1, nfft, BF), lambda n: (n, 0, 0),
+        in_specs=[pl.BlockSpec((1,) + xT.shape[1:], lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM)] +
                  [pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
                                memory_space=pltpu.VMEM) for a in consts],
