@@ -56,6 +56,14 @@ FB_STACKED = True
 # 4x sublane repack of every (nbins, lanes) RHS.
 FB_LIMB_BITS = 8
 
+# Ship the v3 super-block tiles UNTRANSPOSED (bf, hop) -- a free host
+# reshape -- and transpose each packed-i16 tile in VMEM on the hardware
+# transpose path (the INT twin of pallas_mfcc.R2_KERNEL_T: the host XLA
+# 16-bit swapaxes it replaces measured ~3.3 ms/run at the headline shape,
+# docs/BENCH.md round 3h).  Bit-exactness untouched: the transpose is a
+# pure relayout before any arithmetic.
+INT_KERNEL_T = True
+
 # DCT ladder layout: True = sigma (even/odd) rows.  The 4N interleave fill
 # (dct_stream.py:29-34) writes only ODD natural rows -- in sigma layout the
 # buffer is [zeros | odd-half] (two concats, no 2*ntap single-row stores),
@@ -628,7 +636,7 @@ NBMAX_INT = 4  # lane-tiles per whole-stream super-block (VMEM cap)
 def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
                    dtw_ref, out_ref, fbuf, dbuf_r, *,
                    cfg: MFCCConfig, fb_shift: int, bf: int, nseg: int,
-                   nbk: int):
+                   nbk: int, kernel_t=False):
     """Whole-stream variant of _int_kernel_v2: one super-block reads nbk+1
     contiguous lane-tiles (no tile double-read), rebuilds nbk blocks of
     frames into one (nfft, nbk*bf) matrix, and runs the ladder and the
@@ -639,6 +647,8 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     nfft, hop = cfg.nfft, cfg.hop
     L = nbk * bf
     tiles = [xm_ref[0, i] for i in range(nbk)] + [xx_ref[0, 0]]
+    if kernel_t:                     # (bf, hop) tiles: HW transpose
+        tiles = [t.T for t in tiles]
     C = jnp.concatenate(tiles, axis=1).astype(jnp.int32)  # (hop, (nbk+1)*bf)
     rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
     lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
@@ -708,7 +718,13 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     need = Lp * bf * hop
     if need > T:
         raw = jnp.pad(raw, ((0, 0), (0, need - T)))
-    T4 = raw[:, : need].reshape(S, Lp, bf, hop).swapaxes(-1, -2)
+    if INT_KERNEL_T:
+        # free reshape; (bf, hop) tiles transpose in VMEM (flag note)
+        T4 = raw[:, : need].reshape(S, Lp, bf, hop)
+        tile = (bf, hop)
+    else:
+        T4 = raw[:, : need].reshape(S, Lp, bf, hop).swapaxes(-1, -2)
+        tile = (hop, bf)
     # raw sample immediately before each super-block (0 at stream start)
     prev_idx = jnp.maximum(jnp.arange(nchunks) * nbk * bf * hop - 1, 0)
     prevs = (raw[:, prev_idx].astype(jnp.int32)
@@ -725,13 +741,14 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
 
     out = pl.pallas_call(
         functools.partial(_int_kernel_v3, cfg=cfg, fb_shift=fb_shift,
-                          bf=bf, nseg=nseg, nbk=nbk),
+                          bf=bf, nseg=nseg, nbk=nbk,
+                          kernel_t=INT_KERNEL_T),
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, nbk, hop, bf),
+            pl.BlockSpec((1, nbk) + tile,
                          lambda n, nc=nchunks: (n // nc, n % nc, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hop, bf),
+            pl.BlockSpec((1, 1) + tile,
                          lambda n, nc=nchunks, k=nbk:
                          (n // nc, (n % nc) * k + k, 0, 0),
                          memory_space=pltpu.VMEM),
