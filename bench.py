@@ -33,6 +33,8 @@ Methodology notes (the axon TPU tunnel makes naive timing lie):
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -40,8 +42,138 @@ import numpy as np
 
 
 ACCURACY_GATE = 5e-4          # max-abs-err vs float64 oracle, real-scale audio
+F64ISH_GATE = 1e-5            # the compensated double-f32 accuracy north star
 BASELINE_FRAMES_PER_S = 50e3  # reference FPGA derived throughput (BASELINE.md)
 INT_TARGET_FRAMES_PER_S = 9.4e6  # 100k concurrent 16 kHz streams (BASELINE.md)
+
+# ---------------------------------------------------------------------------
+# Outage-proof supervisor (round-3 VERDICT weak #1): bench.py must emit ONE
+# parseable JSON line even when the TPU backend raises at init (r03 failure
+# mode A), hangs forever (failure mode B), or dies mid-run (mode C).  main()
+# therefore runs as a SUPERVISOR: a time-bounded subprocess probes backend
+# health first; the real bench runs in a deadline-bounded child that
+# checkpoints partial results to a file after every section, and the
+# supervisor merges those into the fallback JSON line if the child dies.
+# ---------------------------------------------------------------------------
+
+_PROBE_CODE = ("import jax, jax.numpy as jnp; "
+               "assert float(jnp.arange(8.0).sum()) == 28.0; "
+               "print('BACKEND_OK')")
+
+
+def _json_keys():
+    return {"metric": "mfcc_frames_per_second", "value": 0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "int_frames_per_second": 0.0, "int_bit_exact": False,
+            "serving_streams_float": 0.0, "serving_streams_int": 0.0,
+            "f64ish_frames_per_second": 0.0}
+
+
+def _fallback_record(error, partial=None):
+    rec = _json_keys()
+    if partial:
+        rec.update(partial)
+    rec["error"] = error
+    return rec
+
+
+def _save_partial(**kv):
+    """Checkpoint measured keys so a mid-run tunnel death still yields data."""
+    path = os.environ.get("MFCC_BENCH_PARTIAL")
+    if not path:
+        return
+    try:
+        cur = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cur = json.load(f)
+        cur.update(kv)
+        with open(path + ".tmp", "w") as f:
+            json.dump(cur, f)
+        os.replace(path + ".tmp", path)
+    except Exception:
+        pass
+
+
+def _probe_backend(timeout):
+    """Run a trivial jax op in a bounded subprocess; None if healthy, else
+    a one-line error string.  Catches both outage modes: immediate
+    'Unable to initialize backend' raise and the indefinite init hang."""
+    code = os.environ.get("MFCC_BENCH_PROBE_CMD", _PROBE_CODE)
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return f"backend probe timed out after {timeout:.0f}s (tunnel hang)"
+    if proc.returncode != 0 or "BACKEND_OK" not in proc.stdout:
+        lines = (proc.stderr.strip() or proc.stdout.strip()).splitlines()
+        tail = lines[-1][:300] if lines else ""
+        return f"backend probe failed (rc={proc.returncode}): {tail}"
+    return None
+
+
+def _supervise(argv):
+    """Probe backend health, then run the real bench in a deadline-bounded
+    child; guarantee exactly one JSON line on stdout no matter what."""
+    import tempfile
+
+    probe_timeout = float(os.environ.get("MFCC_BENCH_PROBE_TIMEOUT", "150"))
+    err = _probe_backend(probe_timeout)
+    if err is not None:
+        print(f"# {err}", file=sys.stderr)
+        print(json.dumps(_fallback_record(err)))
+        return 1
+
+    deadline = float(os.environ.get("MFCC_BENCH_DEADLINE", "2400"))
+    fd, partial_path = tempfile.mkstemp(prefix="mfcc_bench_", suffix=".json")
+    os.close(fd)
+    os.unlink(partial_path)
+    env = dict(os.environ)
+    env["MFCC_BENCH_CHILD"] = "1"
+    env["MFCC_BENCH_PARTIAL"] = partial_path
+    ablate = "--ablate" in argv
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), *argv],
+        env=env, stdout=subprocess.PIPE, text=True)  # stderr passes through
+    try:
+        out, _ = proc.communicate(timeout=deadline)
+        timed_out = False
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        timed_out = True
+
+    def partial():
+        try:
+            with open(partial_path) as f:
+                return json.load(f)
+        except Exception:
+            return {}
+
+    try:
+        if ablate:   # diagnostic mode: no JSON-line contract
+            sys.stdout.write(out or "")
+            return 124 if timed_out else proc.returncode
+        parsed = None
+        for line in (out or "").splitlines():
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except ValueError:
+                    continue
+        if parsed is not None:
+            print(json.dumps(parsed))
+            return proc.returncode
+        why = (f"bench child exceeded {deadline:.0f}s deadline" if timed_out
+               else f"bench child rc={proc.returncode} with no JSON line")
+        print(f"# {why}", file=sys.stderr)
+        print(json.dumps(_fallback_record(why, partial())))
+        return 1
+    finally:
+        try:
+            os.unlink(partial_path)
+        except OSError:
+            pass
 
 
 def make_audio(S, T, seed=0):
@@ -82,6 +214,9 @@ def resolve_base(cfg, kind):
             return lambda a: pallas_int.mfcc_int_pallas_v3(a, cfg)
         from mfcc_tpu.ops import int_ops
         return lambda a: int_ops.mfcc_int_batch(a, cfg)
+    if kind == "f64ish":
+        return functools.partial(float_ops.mfcc_batch, cfg=cfg,
+                                 precision="f64ish")
     if kind.endswith("-split"):
         return functools.partial(float_ops.mfcc_batch, cfg=cfg,
                                  method=kind[:-6], precision="split")
@@ -199,6 +334,29 @@ def bench_int(cfg, S, T, F, iters):
         return 0.0, False
 
 
+def bench_f64ish(cfg, S=256, T=None, iters=3):
+    """The compensated double-f32 accuracy mode's cost curve (round-3
+    VERDICT weak #7): frames/s at the 1e-5 gate.  Returns (fps, err);
+    (0, err) if the gate fails, (0, inf) if the run fails."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        T = T or cfg.nfft + 46 * cfg.hop   # ~0.5 s/stream: it is a slow mode
+        F = cfg.n_frames(T)
+        err = accuracy_of(cfg, "f64ish")
+        print(f"# f64ish accuracy: {err:.2e} "
+              f"({'OK' if err <= F64ISH_GATE else 'REJECT'} at "
+              f"{F64ISH_GATE:.0e})", file=sys.stderr)
+        x = jax.device_put(jnp.asarray(make_audio(S, T, seed=5)))
+        float(jnp.abs(x).max())
+        fps = time_fused(cfg, "f64ish", x, S * F, reps=4, iters=iters)
+        print(f"# f64ish: {fps/1e6:.3f} Mframes/s (S={S})", file=sys.stderr)
+        return (fps if err <= F64ISH_GATE else 0.0), err
+    except Exception as e:
+        print(f"# f64ish bench FAILED: {e!r}", file=sys.stderr)
+        return 0.0, float("inf")
+
+
 def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
     """Serving-path capacity: dispatch-amortized streaming steps through
     StreamingMFCC (the fused stream kernel on TPU, transposed carry state,
@@ -308,6 +466,9 @@ def bench_ablate(cfg, S=1024, secs=4.0):
 
 
 def main():
+    if not os.environ.get("MFCC_BENCH_CHILD"):
+        return _supervise(sys.argv[1:])
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes / few iters (CI smoke)")
@@ -364,9 +525,13 @@ def main():
 
     int_fps, int_exact = (0.0, False)
     serving = {"serving_streams_float": 0.0, "serving_streams_int": 0.0}
+    f64_fps, f64_err = 0.0, float("inf")
     if not args.quick:
-        int_fps, int_exact = bench_int(cfg, S, T, F, max(6, iters // 2))
         serving = bench_serving(cfg)
+        _save_partial(**serving)
+        int_fps, int_exact = bench_int(cfg, S, T, F, max(6, iters // 2))
+        _save_partial(int_frames_per_second=round(int_fps, 1),
+                      int_bit_exact=int_exact)
 
     passing = []
     for kind in candidates:
@@ -386,6 +551,10 @@ def main():
               f"err={err:.2e} {'OK' if ok else 'REJECT'}", file=sys.stderr)
         if ok:
             passing.append((fps, kind))
+            if fps > max((f for f, _ in passing[:-1]), default=0.0):
+                _save_partial(value=round(fps, 1),
+                              vs_baseline=round(fps / BASELINE_FRAMES_PER_S,
+                                                2))
     passing.sort(reverse=True)
     best = passing[0] if passing else None
 
@@ -393,7 +562,8 @@ def main():
         print(json.dumps({"metric": "mfcc_frames_per_second", "value": 0,
                           "unit": "frames/s", "vs_baseline": 0.0,
                           "int_frames_per_second": round(int_fps, 1),
-                          "int_bit_exact": int_exact, **serving}))
+                          "int_bit_exact": int_exact,
+                          "f64ish_frames_per_second": 0.0, **serving}))
         return 1
 
     fps = best[0]
@@ -414,6 +584,11 @@ def main():
             except Exception as e:
                 print(f"# fused refinement ({kind}) failed: {e!r}",
                       file=sys.stderr)
+        _save_partial(value=round(fps, 1),
+                      vs_baseline=round(fps / BASELINE_FRAMES_PER_S, 2))
+        f64_fps, f64_err = bench_f64ish(cfg)
+        _save_partial(f64ish_frames_per_second=round(f64_fps, 1),
+                      f64ish_max_abs_err=f64_err)
 
     print(json.dumps({
         "metric": "mfcc_frames_per_second",
@@ -422,6 +597,9 @@ def main():
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_S, 2),
         "int_frames_per_second": round(int_fps, 1),
         "int_bit_exact": int_exact,
+        "f64ish_frames_per_second": round(f64_fps, 1),
+        "f64ish_max_abs_err": (round(f64_err, 10)
+                               if np.isfinite(f64_err) else None),
         **serving,
     }))
     return 0
