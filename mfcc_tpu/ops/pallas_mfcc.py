@@ -1038,7 +1038,7 @@ def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
 
 def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
                  mela_ref, melb_ref, melc_ref, dct_ref, L,
-                 stop_after: str | None = None):
+                 stop_after: str | None = None, mel_floor: float = 0.0):
     """Shared radix-2 pipeline tail on a [evens | odds] frame scratch
     (nfft/2, 2L): window -> one split-DFT matmul -> twiddle recombination
     -> power -> permuted-mel -> log2 -> DCT.  Returns (ncep, L).
@@ -1093,6 +1093,11 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
             precision=hi)
     if stop_after == "mel":
         return melspec
+    if mel_floor:
+        # silence clamp (the float analogue of the RTL's 0 -> 1 before log2,
+        # /root/reference/mfcc/core/log.py:123-126): keeps digital silence
+        # finite; 0.0 = notebook-spec fidelity (log2(0) = -inf)
+        melspec = jnp.maximum(melspec, jnp.float32(mel_floor))
     logmel = jnp.log2(melspec)
     return jnp.dot(dct_ref[:], logmel,
                    preferred_element_type=jnp.float32, precision=hi)

@@ -126,7 +126,7 @@ def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
                          mela_ref, melb_ref, melc_ref, dct_ref,
                          out_ref, nbuf_ref, abuf, fbuf2, *,
                          nfft, hop, P, C, Wp, F, nbits, bs,
-                         chunk_t=False):
+                         chunk_t=False, mel_floor=0.0):
     Ct = _rref(chk_ref)
     if Ct.dtype != jnp.float32:
         Ct = Ct.astype(jnp.float32)        # int16 wire input: upcast in VMEM
@@ -157,7 +157,7 @@ def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
         fbuf2[:, L + f * bs: L + (f + 1) * bs] = Eod[r0: r0 + nh, :]
     out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
                               tws_ref, mela_ref, melb_ref, melc_ref,
-                              dct_ref, L)
+                              dct_ref, L, mel_floor=mel_floor)
 
 
 def _stream_int_kernel(buf_ref, chk_ref, start_ref, prev_ref,
@@ -265,7 +265,8 @@ def _restore_carry(nbuf, Sp):
 def stream_step_float(buffer, chunk, start, prev,
                       cfg: MFCCConfig = MFCCConfig(), *,
                       interpret: bool = False,
-                      transposed_state: bool = False):
+                      transposed_state: bool = False,
+                      mel_floor: float = 0.0):
     """One fused streaming feature step (float, radix-2 split-DFT tail).
 
     buffer (S, P) f32 emphasized carry; chunk (S, C) raw samples (f32 or
@@ -311,7 +312,7 @@ def stream_step_float(buffer, chunk, start, prev,
     out, nbuf = pl.pallas_call(
         functools.partial(_stream_float_kernel, nfft=nfft, hop=hop, P=P,
                           C=C, Wp=Wp, F=F, nbits=nbits, bs=bs,
-                          chunk_t=STREAM_CHUNK_T),
+                          chunk_t=STREAM_CHUNK_T, mel_floor=mel_floor),
         grid=(nb,),
         in_specs=in_specs + [
             pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,

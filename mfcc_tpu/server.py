@@ -24,6 +24,7 @@ reference's BlinkerKeep RX/TX LEDs (wav2mfcc.py:38-47).
 from __future__ import annotations
 
 import logging
+import queue
 import socket
 import socketserver
 import threading
@@ -65,10 +66,27 @@ class FeatureServer:
                  host: str = "127.0.0.1", port: int = 0,
                  max_streams: int = 8, chunk: int = 1024,
                  int_path: bool = True, tick_s: float = 0.005,
-                 device=None):
+                 device=None, mel_floor: float | None = None,
+                 pipeline_depth: int = 2):
         """``device``: optional jax.Device pinning the batched step (e.g.
         the host CPU for small dev servers -- instant start; None = ambient
-        backend, the TPU serving path)."""
+        backend, the TPU serving path).
+
+        ``mel_floor``: float-path silence clamp.  None (default) resolves
+        to 1.0 on the float path -- a SERVER must never emit NaN/inf
+        features for a client that streams digital silence, so it deviates
+        from the notebook spec the same way the RTL does (0 -> 1 before
+        log2, /root/reference/mfcc/core/log.py:123-126).  Pass 0.0
+        explicitly for notebook-spec -inf behavior.  Ignored on the INT
+        path (already RTL-clamped).
+
+        ``pipeline_depth``: max dispatched-but-undelivered steps.  Depth 2
+        + the dedicated delivery thread keep the device computing step k+2
+        while step k+1's results cross the wire and step k's frames are on
+        the TCP sockets (round-3 measurements: delivery/readback was 78%
+        of a serialized loop; the FT601 analogue is the read/write
+        fairness + in-flight read buffer, /root/reference/mfcc/io/
+        ft601.py:88-201)."""
         import jax
         import jax.numpy as jnp
         from .streaming import StreamingMFCC
@@ -77,7 +95,11 @@ class FeatureServer:
         self.chunk = chunk
         self.int_path = int_path
         self.max_streams = max_streams
-        self._sm = StreamingMFCC(cfg, int_path=int_path, device=device)
+        if mel_floor is None:
+            mel_floor = 0.0 if int_path else 1.0
+        self.mel_floor = mel_floor
+        self._sm = StreamingMFCC(cfg, int_path=int_path, device=device,
+                                 mel_floor=mel_floor)
         self._state = self._sm.init(max_streams)
         self._slots = [_Slot() for _ in range(max_streams)]
         self._stop = threading.Event()
@@ -89,8 +111,12 @@ class FeatureServer:
         # cumulative wall seconds inside gather / dispatch / delivery
         self._stats = {"steps": 0, "idle_ticks": 0, "gather_s": 0.0,
                        "compute_s": 0.0, "deliver_s": 0.0, "frames_tx": 0}
-        self._pending = None        # one dispatched step in flight
+        self._stats_lock = threading.Lock()
+        # dispatched-but-undelivered steps; put() blocking when full is the
+        # backpressure that bounds device-side divergence from delivery
+        self._outq = queue.Queue(maxsize=max(1, pipeline_depth))
         self._rollback_jit = None
+        self._post_jit = None
 
         srv = self
 
@@ -274,18 +300,16 @@ class FeatureServer:
         return chunks, resets, active, lengths
 
     def _step_once(self) -> bool:
-        """One stepper tick with ONE step kept in flight: dispatch the
-        current gather (device work + async fetch begin), then DELIVER the
-        previous step's results (blocking host readback + per-slot sends).
-        The state chains step-to-step on the device, so the readback of
-        step k overlaps the device compute of step k+1 -- without this the
-        per-step host<->device round-trip latency serializes the loop
-        (measured as the ~160 ms/step wall at N=128, docs/BENCH.md round
-        3c).  A slot's busy flag holds from gather until ITS delivery."""
+        """One stepper tick: gather + dispatch (async device work + async
+        host copy begin), then hand the device handles to the delivery
+        thread.  Up to ``pipeline_depth`` steps stay in flight: the device
+        computes step k+2 while step k+1's results cross the wire and step
+        k's frames are on the sockets.  The state chains step-to-step on
+        the device, so the host never waits on it.  A slot's in_flight
+        count holds from gather until ITS delivery."""
         t0 = time.perf_counter()
         chunks, resets, active, lengths = self._gather()
         t1 = time.perf_counter()
-        self._stats["gather_s"] += t1 - t0
         dispatched = None
         if active.any():
             try:
@@ -293,21 +317,41 @@ class FeatureServer:
             except Exception:
                 log.exception("stepper: batched dispatch failed")
                 self._clear_busy(active)
-        else:
-            self._stats["idle_ticks"] += 1
         t2 = time.perf_counter()
-        self._stats["compute_s"] += t2 - t1
-        prev = self._pending
-        self._pending = dispatched
-        if prev is not None:
+        with self._stats_lock:
+            self._stats["gather_s"] += t1 - t0
+            self._stats["compute_s"] += t2 - t1
+            if dispatched is None:
+                self._stats["idle_ticks"] += 1
+        if dispatched is not None:
+            while not self._stop.is_set():     # blocking put = backpressure
+                try:
+                    self._outq.put(dispatched, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+        return dispatched is not None
+
+    def _run_delivery(self):
+        """Delivery thread: blocking host readback + per-slot sends, fully
+        overlapped with the stepper's gather/dispatch of later steps."""
+        while True:
             try:
-                self._deliver(*prev)
+                item = self._outq.get(timeout=self._tick_s)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
+            t0 = time.perf_counter()
+            try:
+                self._deliver(*item)
             except Exception:
-                log.exception("stepper: delivery failed")
-                self._clear_busy(prev[2])
-            self._stats["deliver_s"] += time.perf_counter() - t2
-            self._stats["steps"] += 1
-        return dispatched is not None or prev is not None
+                log.exception("delivery: failed")
+                self._clear_busy(item[2])
+            with self._stats_lock:
+                self._stats["deliver_s"] += time.perf_counter() - t0
+                self._stats["steps"] += 1
+            self._outq.task_done()
 
     def _clear_busy(self, active):
         for i, slot in enumerate(self._slots):
@@ -341,21 +385,37 @@ class FeatureServer:
         with self._sm._device_ctx():
             self._state = self._rollback_jit(new_state, self._state,
                                              jnp.asarray(active))
-        return feats, mask, active
+            # wire-format conversion ON DEVICE (int16 is 4x less readback
+            # than f32) + async device->host copy started at dispatch time,
+            # so the delivery thread's device_get finds the bytes already
+            # en route instead of starting the round-trip itself
+            if self._post_jit is None:
+                self._post_jit = self._jax.jit(
+                    lambda f: jnp.clip(jnp.round(f), -32768,
+                                       32767).astype(jnp.int16))
+            wire = self._post_jit(feats)
+        for arr in (wire, mask):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:      # non-jax array (device=None fakes)
+                pass
+        return wire, mask, active
 
-    def _deliver(self, feats, mask, active):
-        """Blocking host readback of a dispatched step + per-slot sends +
-        busy release."""
-        feats, mask = self._jax.device_get((feats, mask))
+    def _deliver(self, wire, mask, active):
+        """Blocking host readback of a dispatched step (already int16 and
+        already crossing via copy_to_host_async) + per-slot sends + busy
+        release."""
+        wire, mask = self._jax.device_get((wire, mask))
         for i, slot in enumerate(self._slots):
             if not active[i]:
                 continue
-            valid = feats[i][mask[i]]
-            if len(valid):
-                cols = np.clip(np.round(valid), -32768,
-                               32767).astype(np.int16)
+            cols = wire[i][mask[i]]
+            if len(cols):
                 data = transport.encode_frames(cols)
-                self._stats["frames_tx"] += len(cols)
+                # count BEFORE the send: an observer who has received the
+                # frames must see them counted
+                with self._stats_lock:
+                    self._stats["frames_tx"] += len(cols)
                 with slot.lock:
                     send = slot.send
                     slot.tx_frames += len(cols)
@@ -403,6 +463,7 @@ class FeatureServer:
         self._threads = [
             threading.Thread(target=self._tcp.serve_forever, daemon=True),
             threading.Thread(target=self._run_stepper, daemon=True),
+            threading.Thread(target=self._run_delivery, daemon=True),
         ]
         for t in self._threads:
             t.start()
@@ -410,7 +471,10 @@ class FeatureServer:
 
     def stop(self):
         self._stop.set()
-        self._tcp.shutdown()
+        # BaseServer.shutdown() blocks on an event that only serve_forever
+        # sets -- calling it on a never-started server hangs forever
+        if getattr(self, "_threads", None):
+            self._tcp.shutdown()
         self._tcp.server_close()
 
     def activity(self):

@@ -140,7 +140,8 @@ class StreamingMFCC:
     def __init__(self, cfg: MFCCConfig = MFCCConfig(), *, int_path: bool = False,
                  method: str = "dft", precision: str = "highest",
                  dtype=jnp.float32, device=None,
-                 transposed_state: bool = False):
+                 transposed_state: bool = False,
+                 mel_floor: float = 0.0):
         """``device``: optional jax.Device to pin the whole streaming step to
         (e.g. ``jax.devices("cpu")[0]``).  The 1-stream CLI paths pin to the
         host CPU: a single real-time stream is a trivial CPU workload, and a
@@ -154,9 +155,20 @@ class StreamingMFCC:
         S=4096).  Requires S % 128 == 0 on the fused path; the XLA paths
         transpose at their boundary.  Combine with int16 chunk input (the
         wire dtype passes straight to the kernel on full-chunk steps) for
-        the production serving shape."""
+        the production serving shape.
+
+        ``mel_floor``: float-path clamp applied to the mel spectrum before
+        log2.  The default 0.0 keeps notebook-spec fidelity -- digital
+        SILENCE then produces -inf/NaN cepstra (log2(0) = -inf, matching
+        MFCC.ipynb).  Set 1.0 for the float analogue of the RTL's 0 -> 1
+        clamp (/root/reference/mfcc/core/log.py:123-126): silence maps to
+        finite features; real int16-scale audio is unaffected (its mel
+        energies are orders of magnitude above 1).  The serving
+        FeatureServer float path defaults to 1.0.  Ignored on the INT path
+        (which already clamps like the RTL)."""
         self.cfg = cfg
         self.int_path = int_path
+        self.mel_floor = float(mel_floor)
         self.dtype = jnp.int32 if int_path else dtype
         self._device = device
         self.transposed_state = transposed_state
@@ -184,7 +196,7 @@ class StreamingMFCC:
             # remains available for explicit use.
             features = functools.partial(
                 float_ops.mfcc_frames, cfg=cfg, method=method,
-                precision=precision, dtype=dtype)
+                precision=precision, dtype=dtype, mel_floor=self.mel_floor)
 
         step_dtype = self.dtype
 
@@ -224,7 +236,9 @@ class StreamingMFCC:
             from .ops import pallas_int as _pi
             if not int_path or _pi.pallas_int_supported(cfg):
                 kern = (pallas_stream.stream_step_int if int_path
-                        else pallas_stream.stream_step_float)
+                        else functools.partial(
+                            pallas_stream.stream_step_float,
+                            mel_floor=self.mel_floor))
                 P = cfg.windowlen - 1
 
                 def fused(chunks, state, reset):

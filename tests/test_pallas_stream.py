@@ -180,3 +180,30 @@ def test_stream_kernel_chunk_layouts_agree():
             _run_parity(int_path=False, interpret=True)
     finally:
         pallas_stream.STREAM_CHUNK_T = saved
+
+
+def test_stream_float_kernel_mel_floor_interpret():
+    """The fused float kernel honors mel_floor: a silent stream produces
+    finite (all-zero) features instead of -inf (the serving silence
+    contract), and a loud stream is unaffected by the clamp."""
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(11)
+    S, C = 2, 852                       # 512 + 2*170: 3 frames when primed
+    chunks = np.zeros((S, C), np.float32)
+    chunks[1] = rng.integers(-8000, 8000, C)
+    buf = np.zeros((S, P), np.float32)
+    buf[1] = rng.integers(-8000, 8000, P)   # loud carry: no near-silent frame
+    buf = jnp.asarray(buf)
+    start = jnp.zeros((S,), jnp.int32)  # buffer fully primed (count = P)
+    prev = jnp.zeros((S,), jnp.float32)
+    with jax.default_device(cpu):
+        f0, _ = pallas_stream.stream_step_float(
+            buf, jnp.asarray(chunks), start, prev, CFG, interpret=True)
+        f1, _ = pallas_stream.stream_step_float(
+            buf, jnp.asarray(chunks), start, prev, CFG, interpret=True,
+            mel_floor=1.0)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert not np.isfinite(f0[0]).all()          # spec: log2(0) = -inf
+    assert np.isfinite(f1).all()
+    assert np.abs(f1[0]).max() == 0.0            # log2(max(0,1)) = 0
+    assert np.abs(f0[1] - f1[1]).max() == 0.0    # loud stream untouched

