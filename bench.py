@@ -374,14 +374,24 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
 
     out = {}
     audio = make_audio(S, C, seed=11)
-    for name, int_path in (("float", False), ("int", True)):
+    # (key suffix, int_path, transposed_chunks): the *_cht rows A/B the
+    # relayout-free positions-major chunk ingest (stderr only; the JSON
+    # keys stay the shipped default until a TPU measurement flips it)
+    variants = (("float", False, False), ("int", True, False),
+                ("float_cht", False, True), ("int_cht", True, True))
+    for name, int_path, chunks_t in variants:
         key = f"serving_streams_{name}"
         try:
             sm = streaming.StreamingMFCC(cfg, int_path=int_path,
-                                         transposed_state=True)
+                                         transposed_state=True,
+                                         transposed_chunks=chunks_t)
+            if chunks_t and sm._fused_jit is None:
+                out[key] = 0.0
+                continue                # fused-only variant; skip on CPU
             dt = jnp.int16 if sm._fused_jit is not None \
                 else (jnp.int32 if int_path else jnp.float32)
-            x = jax.device_put(jnp.asarray(audio, dt))
+            x = jax.device_put(jnp.asarray(audio.T if chunks_t else audio,
+                                           dt))
             reset0 = jnp.zeros((S,), bool)
             state0 = sm.init(S)
             fused = sm._fused_jit is not None

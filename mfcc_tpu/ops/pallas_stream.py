@@ -104,13 +104,34 @@ def _barrel_sublane(x, start_row, Wp: int, nbits: int):
     return x
 
 
-# Ship the raw chunk STREAM-MAJOR (S, C) -- no XLA transpose on the hot
-# serving path -- and transpose each (bs, C) block in VMEM on the hardware
-# transpose path (the serving twin of pallas_mfcc.R2_KERNEL_T; the XLA
-# 16-bit transpose it replaces was ~10-15% of the serving step).  The
-# carry/start/prev operands keep the lane-sliced transposed layout (the
-# carry never round-trips under transposed_state anyway).
+# Default chunk ingest layout (overridable per call via ``chunk_layout``):
+#   True  -> "stream":    raw chunk ships STREAM-MAJOR (S, C) -- no XLA
+#            transpose on the hot serving path -- and each (bs, C) block is
+#            transposed in VMEM on the hardware transpose path (the serving
+#            twin of pallas_mfcc.R2_KERNEL_T; the XLA 16-bit transpose it
+#            replaces was ~10-15% of the serving step).
+#   False -> "time":      chunk ships (S, C) and pays a host XLA transpose
+#            to (C, S) (the pre-round-3i layout, kept for A/B).
+# A third layout, "positions", takes the chunk ALREADY (C, S) -- produced
+# positions-major by the caller (e.g. the FeatureServer's host-side gather
+# writing slot columns) -- and needs NO transpose anywhere, host or VMEM.
+# The carry/start/prev operands keep the lane-sliced transposed layout in
+# all cases (the carry never round-trips under transposed_state anyway).
 STREAM_CHUNK_T = True
+
+
+def _resolve_chunk_layout(chunk_layout):
+    if chunk_layout is None:
+        return "stream" if STREAM_CHUNK_T else "time"
+    assert chunk_layout in ("stream", "time", "positions"), chunk_layout
+    return chunk_layout
+
+
+def _pad_lanes(arr, Sp):
+    S = arr.shape[1]
+    if Sp > S:
+        arr = jnp.pad(arr, ((0, 0), (0, Sp - S)))
+    return arr
 
 
 def _rref(ref):
@@ -266,25 +287,29 @@ def stream_step_float(buffer, chunk, start, prev,
                       cfg: MFCCConfig = MFCCConfig(), *,
                       interpret: bool = False,
                       transposed_state: bool = False,
-                      mel_floor: float = 0.0):
+                      mel_floor: float = 0.0,
+                      chunk_layout: str | None = None):
     """One fused streaming feature step (float, radix-2 split-DFT tail).
 
     buffer (S, P) f32 emphasized carry; chunk (S, C) raw samples (f32 or
-    int16); start (S,) int32 = P - count (reset already merged); prev (S,)
-    f32 raw previous sample (reset already merged).
+    int16) -- or (C, S) when ``chunk_layout="positions"``; start (S,)
+    int32 = P - count (reset already merged); prev (S,) f32 raw previous
+    sample (reset already merged).
     Returns (feats (S, F, ncep) f32, new_buffer (S, P) f32); frame slots
     beyond each stream's valid count are garbage the caller masks.
 
     ``transposed_state=True``: the carry buffer is stored (P, S) -- the
     kernel's native layout -- so the serving loop's state never
-    round-trips a transpose; with STREAM_CHUNK_T the raw chunk also ships
-    stream-major and transposes in VMEM, leaving the step with NO bulk
-    XLA relayout.  new_buffer comes back (P, S) likewise."""
+    round-trips a transpose; with the "stream" chunk layout the raw chunk
+    also ships stream-major and transposes in VMEM, and with "positions"
+    (caller supplies (C, S)) the step has NO relayout at all, host, XLA
+    or VMEM.  new_buffer comes back (P, S) likewise."""
+    layout = _resolve_chunk_layout(chunk_layout)
     if transposed_state:
         P0, S = buffer.shape
     else:
         S, P0 = buffer.shape
-    C = chunk.shape[1]
+    C = chunk.shape[0] if layout == "positions" else chunk.shape[1]
     P, F, Wp, nbits = _geometry(cfg, C)
     assert P0 == P
     nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
@@ -299,20 +324,22 @@ def stream_step_float(buffer, chunk, start, prev,
             bufT = jnp.pad(bufT, ((0, 0), (0, Sp - S)))
     else:
         bufT = _pad_streams(buffer.astype(jnp.float32), Sp).T
-    chk = (_pad_streams(chunk, Sp) if STREAM_CHUNK_T
+    chk = (_pad_streams(chunk, Sp) if layout == "stream"
+           else _pad_lanes(chunk, Sp) if layout == "positions"
            else _pad_streams(chunk, Sp).T)
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.float32)[:, None], Sp).T
     consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
     L = F * bs
 
+    chunk_t = layout == "stream"
     ins, in_specs, nbuf_spec, nbuf_shape = _stream_operand_layout(
         [bufT, chk, startr, prevr], bs, nb, Sp, jnp.float32,
-        chunk_t=STREAM_CHUNK_T)
+        chunk_t=chunk_t)
     out, nbuf = pl.pallas_call(
         functools.partial(_stream_float_kernel, nfft=nfft, hop=hop, P=P,
                           C=C, Wp=Wp, F=F, nbits=nbits, bs=bs,
-                          chunk_t=STREAM_CHUNK_T, mel_floor=mel_floor),
+                          chunk_t=chunk_t, mel_floor=mel_floor),
         grid=(nb,),
         in_specs=in_specs + [
             pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
@@ -341,20 +368,23 @@ def stream_step_float(buffer, chunk, start, prev,
 def stream_step_int(buffer, chunk, start, prev,
                     cfg: MFCCConfig = MFCCConfig(), *,
                     interpret: bool = False,
-                    transposed_state: bool = False):
+                    transposed_state: bool = False,
+                    chunk_layout: str | None = None):
     """One fused streaming feature step (bit-exact INT, sigma-layout ladder).
 
     buffer (S, P) int32 emphasized carry; chunk (S, C) raw int16-range
-    samples (int16 or int32); start (S,) int32 = P - count; prev (S,) int32
+    samples (int16 or int32) -- or (C, S) when ``chunk_layout=
+    "positions"``; start (S,) int32 = P - count; prev (S,) int32
     raw previous sample.  Returns (feats (S, F, ncep) int32, new_buffer
     (S, P) int32); invalid frame slots are garbage the caller masks.
     ``transposed_state``: carry stored/returned (P, S) -- see
     stream_step_float."""
+    layout = _resolve_chunk_layout(chunk_layout)
     if transposed_state:
         P0, S = buffer.shape
     else:
         S, P0 = buffer.shape
-    C = chunk.shape[1]
+    C = chunk.shape[0] if layout == "positions" else chunk.shape[1]
     P, F, Wp, nbits = _geometry(cfg, C)
     assert P0 == P
     nfft, ncep = cfg.nfft, cfg.nceptrums
@@ -369,7 +399,8 @@ def stream_step_int(buffer, chunk, start, prev,
             bufT = jnp.pad(bufT, ((0, 0), (0, Sp - S)))
     else:
         bufT = _pad_streams(buffer.astype(jnp.int32), Sp).T
-    chk = (_pad_streams(chunk, Sp) if STREAM_CHUNK_T
+    chk = (_pad_streams(chunk, Sp) if layout == "stream"
+           else _pad_lanes(chunk, Sp) if layout == "positions"
            else _pad_streams(chunk, Sp).T)
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.int32)[:, None], Sp).T
@@ -384,13 +415,14 @@ def stream_step_int(buffer, chunk, start, prev,
     n4 = 4 * cfg.nfilters
     L = F * bs
 
+    chunk_t = layout == "stream"
     ins, in_specs, nbuf_spec, nbuf_shape = _stream_operand_layout(
         [bufT, chk, startr, prevr], bs, nb, Sp, jnp.int32,
-        chunk_t=STREAM_CHUNK_T)
+        chunk_t=chunk_t)
     out, nbuf = pl.pallas_call(
         functools.partial(_stream_int_kernel, cfg=cfg, fb_shift=fb_shift,
                           P=P, C=C, Wp=Wp, F=F, nbits=nbits, bs=bs,
-                          chunk_t=STREAM_CHUNK_T),
+                          chunk_t=chunk_t),
         grid=(nb,),
         in_specs=in_specs + [
             pl.BlockSpec((nfft, 1), lambda n: (0, 0),

@@ -67,7 +67,8 @@ class FeatureServer:
                  max_streams: int = 8, chunk: int = 1024,
                  int_path: bool = True, tick_s: float = 0.005,
                  device=None, mel_floor: float | None = None,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 transposed_chunks: bool = False):
         """``device``: optional jax.Device pinning the batched step (e.g.
         the host CPU for small dev servers -- instant start; None = ambient
         backend, the TPU serving path).
@@ -86,7 +87,13 @@ class FeatureServer:
         the TCP sockets (round-3 measurements: delivery/readback was 78%
         of a serialized loop; the FT601 analogue is the read/write
         fairness + in-flight read buffer, /root/reference/mfcc/io/
-        ft601.py:88-201)."""
+        ft601.py:88-201).
+
+        ``transposed_chunks``: gather client samples into a (C, S)
+        positions-major buffer (plain column writes on the host) so the
+        device step has no chunk relayout at all -- host, XLA or VMEM
+        (pairs the fused kernel's "positions" ingest with the pipelined
+        stepper)."""
         import jax
         import jax.numpy as jnp
         from .streaming import StreamingMFCC
@@ -95,11 +102,13 @@ class FeatureServer:
         self.chunk = chunk
         self.int_path = int_path
         self.max_streams = max_streams
+        self.transposed_chunks = transposed_chunks
         if mel_floor is None:
             mel_floor = 0.0 if int_path else 1.0
         self.mel_floor = mel_floor
         self._sm = StreamingMFCC(cfg, int_path=int_path, device=device,
-                                 mel_floor=mel_floor)
+                                 mel_floor=mel_floor,
+                                 transposed_chunks=transposed_chunks)
         self._state = self._sm.init(max_streams)
         self._slots = [_Slot() for _ in range(max_streams)]
         self._stop = threading.Event()
@@ -234,7 +243,8 @@ class FeatureServer:
         # int16 is the wire dtype AND the fused kernel's native ingest --
         # at serving scale the host->device chunk transfer dominates the
         # step (measured 4x win vs int64 through the tunnel)
-        chunks = np.zeros((S, C), dtype=np.int16 if self.int_path
+        shape = (C, S) if self.transposed_chunks else (S, C)
+        chunks = np.zeros(shape, dtype=np.int16 if self.int_path
                           else np.float32)
         resets = np.zeros(S, dtype=bool)
         active = np.zeros(S, dtype=bool)
@@ -263,6 +273,7 @@ class FeatureServer:
                 got = 0
                 reset_first = slot.reset_pending
                 slot.reset_pending = False
+                row = chunks[:, i] if self.transposed_chunks else chunks[i]
                 while got < C and slot.pending:
                     s_arr, seg_reset = slot.pending[0]
                     if seg_reset:
@@ -272,7 +283,7 @@ class FeatureServer:
                         slot.pending[0] = (s_arr, False)
                         continue
                     take = min(C - got, len(s_arr))
-                    chunks[i, got: got + take] = s_arr[:take]
+                    row[got: got + take] = s_arr[:take]
                     got += take
                     if take == len(s_arr):
                         slot.pending.pop(0)
@@ -288,9 +299,9 @@ class FeatureServer:
                         # not enough data yet: put the run back intact
                         if got:
                             slot.pending.insert(
-                                0, (chunks[i, :got].copy()
+                                0, (row[:got].copy()
                                     .astype(chunks.dtype), False))
-                            chunks[i, :got] = 0
+                            row[:got] = 0
                         slot.reset_pending = reset_first
                         continue
                 slot.n_buffered -= got
@@ -444,8 +455,8 @@ class FeatureServer:
         """Compile the batched step before accepting traffic (first jit
         compile can take minutes through a remote-compile tunnel)."""
         C, S = self.chunk, self.max_streams
-        dummy = np.zeros((S, C), dtype=np.int16 if self.int_path
-                         else np.float32)
+        dummy = np.zeros((C, S) if self.transposed_chunks else (S, C),
+                         dtype=np.int16 if self.int_path else np.float32)
         # both serving programs: the full-chunk (fused-kernel) step and the
         # length-masked flush step
         feats, mask, _ = self._sm.step(dummy, self._state,

@@ -141,7 +141,8 @@ class StreamingMFCC:
                  method: str = "dft", precision: str = "highest",
                  dtype=jnp.float32, device=None,
                  transposed_state: bool = False,
-                 mel_floor: float = 0.0):
+                 mel_floor: float = 0.0,
+                 transposed_chunks: bool = False):
         """``device``: optional jax.Device to pin the whole streaming step to
         (e.g. ``jax.devices("cpu")[0]``).  The 1-stream CLI paths pin to the
         host CPU: a single real-time stream is a trivial CPU workload, and a
@@ -165,10 +166,19 @@ class StreamingMFCC:
         finite features; real int16-scale audio is unaffected (its mel
         energies are orders of magnitude above 1).  The serving
         FeatureServer float path defaults to 1.0.  Ignored on the INT path
-        (which already clamps like the RTL)."""
+        (which already clamps like the RTL).
+
+        ``transposed_chunks=True``: ``step`` takes chunks (C, S) -- the
+        fused kernel's native positions-major ingest -- so the step needs
+        NO chunk relayout anywhere (host, XLA or VMEM); pair with
+        ``transposed_state`` for the fully relayout-free serving loop.
+        The producer writes the chunk buffer time-major (the FeatureServer
+        gather does this with plain column writes).  Non-fused fallbacks
+        (lengths flush, non-TPU) transpose internally."""
         self.cfg = cfg
         self.int_path = int_path
         self.mel_floor = float(mel_floor)
+        self.transposed_chunks = transposed_chunks
         self.dtype = jnp.int32 if int_path else dtype
         self._device = device
         self.transposed_state = transposed_state
@@ -239,6 +249,9 @@ class StreamingMFCC:
                         else functools.partial(
                             pallas_stream.stream_step_float,
                             mel_floor=self.mel_floor))
+                if transposed_chunks:
+                    kern = functools.partial(kern,
+                                             chunk_layout="positions")
                 P = cfg.windowlen - 1
 
                 def fused(chunks, state, reset):
@@ -248,7 +261,8 @@ class StreamingMFCC:
                     feats, newbuf = kern(state.buffer, chunks, P - count,
                                          prev, cfg,
                                          transposed_state=transposed_state)
-                    C = chunks.shape[1]
+                    C = (chunks.shape[0] if transposed_chunks
+                         else chunks.shape[1])
                     total = count + C
                     n_valid = jnp.maximum(
                         (total - cfg.windowlen) // cfg.hop + 1, 0)
@@ -256,19 +270,29 @@ class StreamingMFCC:
                     mask = (jnp.arange(F, dtype=jnp.int32)[None, :]
                             < n_valid[:, None])
                     new_count = (total - n_valid * cfg.hop).astype(jnp.int32)
-                    new_prev = chunks[:, -1].astype(state.prev.dtype)
+                    last = chunks[-1, :] if transposed_chunks \
+                        else chunks[:, -1]
+                    new_prev = last.astype(state.prev.dtype)
                     return feats, mask, StreamState(newbuf, new_count,
                                                     new_prev)
 
                 self._fused_jit = jax.jit(fused)
 
         jit_full, jit_len = jax.jit(step_full), jax.jit(step_len)
+
+        def as_stream_major(chunks):
+            # non-fused paths consume (S, C); a positions-major caller's
+            # chunk transposes at this (cold: flush / non-TPU) boundary
+            return jnp.asarray(chunks).T if transposed_chunks else chunks
+
         if int_path and not int_ops._fb_int32_layout_ok(cfg):
             def base_step(chunks, state, reset, lengths):
                 with jax.enable_x64():
                     if lengths is None:
-                        return jit_full(chunks, state, reset)
-                    return jit_len(chunks, state, reset, lengths)
+                        return jit_full(as_stream_major(chunks), state,
+                                        reset)
+                    return jit_len(as_stream_major(chunks), state, reset,
+                                   lengths)
         else:
             fused_jit = self._fused_jit
 
@@ -276,8 +300,9 @@ class StreamingMFCC:
                 if lengths is None:
                     if fused_jit is not None:
                         return fused_jit(chunks, state, reset)
-                    return jit_full(chunks, state, reset)
-                return jit_len(chunks, state, reset, lengths)
+                    return jit_full(as_stream_major(chunks), state, reset)
+                return jit_len(as_stream_major(chunks), state, reset,
+                               lengths)
         if device is not None:
             def dev_step(chunks, state, reset, lengths):
                 with jax.default_device(device):
@@ -307,8 +332,9 @@ class StreamingMFCC:
     def step(self, chunks, state: StreamState, reset=None, lengths=None):
         """Process one chunk per stream.
 
-        chunks:  (S, C) raw samples (any C >= 1; each distinct C compiles once
-                 -- after CHUNK_WIDTH_WARN distinct widths a one-time warning
+        chunks:  (S, C) raw samples -- (C, S) under ``transposed_chunks`` --
+                 (any C >= 1; each distinct C compiles once -- after
+                 CHUNK_WIDTH_WARN distinct widths a one-time warning
                  suggests padding to a fixed C with ``lengths``)
         reset:   (S,) bool -- soft-reset flags consumed before the chunk
         lengths: (S,) int -- number of REAL samples per chunk (default C);
@@ -317,7 +343,7 @@ class StreamingMFCC:
         returns (features (S, F_max, ncep), mask (S, F_max), new_state);
         mask[s, k] marks which of the F_max frame slots are real frames.
         """
-        width = np.shape(chunks)[1]
+        width = np.shape(chunks)[0 if self.transposed_chunks else 1]
         if width not in self._seen_widths:
             self._seen_widths.add(width)
             if len(self._seen_widths) == self.CHUNK_WIDTH_WARN + 1:
@@ -337,7 +363,7 @@ class StreamingMFCC:
                 # (half the HBM chunk bytes); every other path computes in
                 # the state dtype
                 chunks = chunks.astype(self.dtype)
-            S, C = chunks.shape
+            S = chunks.shape[1 if self.transposed_chunks else 0]
             if reset is None:
                 reset = jnp.zeros((S,), bool)
             if lengths is not None:
@@ -356,7 +382,8 @@ class StreamingMFCC:
         cfg = self.cfg
         S = state.count.shape[0]
         counts = np.asarray(state.count)
-        pad = np.zeros((S, cfg.nfft), np.asarray(state.buffer).dtype)
+        shape = (cfg.nfft, S) if self.transposed_chunks else (S, cfg.nfft)
+        pad = np.zeros(shape, np.asarray(state.buffer).dtype)
         feats, mask, new_state = self.step(pad, state)
         F = feats.shape[1]
         keep = (np.arange(F) * cfg.hop)[None, :] < counts[:, None]
@@ -387,6 +414,8 @@ class StreamingMFCC:
                 chunk = np.pad(chunk,
                                ((0, 0), (0, chunk_size - chunk.shape[1])))
             reset = (reset_at or {}).get(ci)
+            if self.transposed_chunks:
+                chunk = np.ascontiguousarray(chunk.T)
             feats, mask, state = self.step(chunk, state, reset,
                                            lengths=lengths)
             feats, mask = np.asarray(feats), np.asarray(mask)

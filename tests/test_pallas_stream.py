@@ -207,3 +207,44 @@ def test_stream_float_kernel_mel_floor_interpret():
     assert np.isfinite(f1).all()
     assert np.abs(f1[0]).max() == 0.0            # log2(max(0,1)) = 0
     assert np.abs(f0[1] - f1[1]).max() == 0.0    # loud stream untouched
+
+
+def test_stream_kernel_positions_layout_agrees():
+    """The relayout-free "positions" chunk ingest (caller supplies (C, S))
+    is bit-identical (INT) / gate-identical (float) to the stream-major
+    default: the layout only moves WHO builds the time-major buffer."""
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(21)
+    S, C = 3, 700
+    chunks = rng.integers(-25000, 25000, (S, C))
+    for int_path in (True, False):
+        kern = (pallas_stream.stream_step_int if int_path
+                else pallas_stream.stream_step_float)
+        sdt = jnp.int32 if int_path else jnp.float32
+        buf = jnp.asarray(rng.integers(-100, 100, (S, P)), sdt)
+        start = jnp.asarray([0, 170, 511], jnp.int32)
+        prev = jnp.asarray([0, 5, -7], sdt)
+        with jax.default_device(cpu):
+            f0, b0 = kern(buf, jnp.asarray(chunks, sdt), start, prev, CFG,
+                          interpret=True)
+            f1, b1 = kern(buf.T, jnp.asarray(chunks.T, jnp.int16), start,
+                          prev, CFG, interpret=True, transposed_state=True,
+                          chunk_layout="positions")
+        assert np.array_equal(np.asarray(f0), np.asarray(f1))
+        assert np.array_equal(np.asarray(b0), np.asarray(b1).T)
+
+
+def test_streaming_transposed_chunks_end_to_end():
+    """StreamingMFCC(transposed_chunks=True) equals the plain orientation
+    through process() on both paths (fused unavailable on CPU -> exercises
+    the internal transpose fallback; the fused path parity is the kernel
+    test above)."""
+    from mfcc_tpu.streaming import StreamingMFCC
+    rng = np.random.default_rng(5)
+    sig = rng.integers(-20000, 20000, (2, 1192)).astype(np.int64)
+    want, _ = StreamingMFCC(CFG, int_path=True).process(sig, chunk_size=298)
+    got, _ = StreamingMFCC(CFG, int_path=True,
+                           transposed_chunks=True).process(sig,
+                                                           chunk_size=298)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
