@@ -237,3 +237,37 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_sharded_kernel_routing_on_tpu(audio_int16):
+    """Mosaic-under-shard_map exercised on REAL hardware (round-3 VERDICT
+    next #9): mfcc_sharded_fn(use_kernels="auto") over the TPU mesh (all
+    visible chips -- a mesh of 1 in the single-chip driver env) must route
+    through the fused kernels and match the single-chip pipeline.  The
+    interpret-mode twin runs on the CPU mesh; this is the hardware
+    lowering check."""
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    batch = np.stack([np.roll(audio_int16, 7 * s) for s in
+                      range(max(4, 2 * n))]).astype(np.float32)
+    x = shard_streams(jnp.asarray(batch), mesh)
+    fn = mfcc_sharded_fn(mesh, CFG, use_kernels="auto")
+    assert "pallas" in getattr(fn, "selected_impl", ""), fn.selected_impl
+    cep, energy = fn(x)
+    got = np.asarray(cep)
+    for s in range(batch.shape[0]):
+        want = np.asarray(MFCC(CFG)(jnp.asarray(batch[s])))
+        assert np.abs(got[s] - want).max() < 1e-3
+    assert np.isfinite(float(energy))
+
+    # INT: bit-exact through the kernel-routed sharded path on hardware
+    from mfcc_tpu.ref import int_ref
+    xi = shard_streams(jnp.asarray(batch.astype(np.int32)), mesh)
+    ifn = mfcc_sharded_fn(mesh, CFG, int_path=True, use_kernels="auto")
+    assert "pallas" in getattr(ifn, "selected_impl", ""), ifn.selected_impl
+    icep, _ = ifn(xi)
+    igot = np.asarray(icep)
+    for s in range(batch.shape[0]):
+        iwant = int_ref.mfcc_int(batch[s].astype(np.int64), CFG)
+        assert np.array_equal(igot[s], iwant[: igot.shape[1]])
