@@ -206,6 +206,8 @@ def resolve_base(cfg, kind):
         return lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, cfg)
     if kind in ("pallas-radix2", "pallas-radix2-i16"):
         return lambda a: pallas_mfcc.mfcc_pallas_radix2(a, cfg)
+    if kind in ("pallas-fmaj", "pallas-fmaj-i16"):
+        return lambda a: pallas_mfcc.mfcc_pallas_fmaj(a, cfg)
     if kind == "pallas-recomp-bf16":
         return lambda a: pallas_mfcc.mfcc_pallas_recomp(a, cfg, split=True)
     if kind == "int":
@@ -570,8 +572,10 @@ def main():
         # kernel), bf16 (the documented gate rejection), dft (XLA
         # baseline); superseded variants are dropped to keep the driver's
         # compile budget bounded
-        candidates = ["pallas-radix2-i16", "pallas-radix2",
-                      "pallas-recomp-t-i16",
+        # fmaj: the zero-relayout frame-major kernel (full-DFT cost traded
+        # for no input transposes -- the round-3h input-path finding)
+        candidates = ["pallas-radix2-i16", "pallas-fmaj-i16",
+                      "pallas-radix2", "pallas-recomp-t-i16",
                       "pallas-recomp-bf16", "dft"]
 
     F = cfg.n_frames(T)

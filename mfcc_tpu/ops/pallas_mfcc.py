@@ -1243,3 +1243,142 @@ def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     out = (out.reshape(S, nchunks, ncep, L).swapaxes(-1, -2)
            .reshape(S, Fp, ncep)[:, :F])
     return out.reshape(lead + (F, ncep))
+
+
+# ---------------------------------------------------------------------------
+# Frame-major whole-stream kernel: zero relayouts end to end
+# ---------------------------------------------------------------------------
+#
+# The radix-2 kernel's measured bottleneck is the input relayout: audio
+# arrives time-major, the kernel computes positions-major, and moving
+# between them costs either a host XLA i16 transpose (~3.3 ms/run) or
+# in-kernel hardware transposes (~2 ms/run) -- docs/BENCH.md round 3h.
+# This kernel is the round-3 VERDICT's "operator-side transpose": keep
+# FRAMES on the sublane axis and POSITIONS on the lane axis everywhere, so
+# that
+#   * the host prologue is ONE free reshape (S, T) -> (S, Lp, hop) --
+#     no swapaxes, no pad copies beyond the tail;
+#   * frame assembly is nseg sublane-sliced lane-offset stores
+#     (frame j = hop-rows j..j+nseg-1 laid at lane offsets q*hop) --
+#     no transposes, no barrel rolls;
+#   * the DFT contracts frames @ CS with the UNtransposed (nfft, 2*nbins)
+#     operator (window folded in), M=bf K=nfft N=2*nbins -- MXU-native;
+#   * power/mel/log2/DCT all stay frame-major, ending at (bf, ncep) --
+#     the OUTPUT layout, so the epilogue reshape is free too.
+# The trade: the full real DFT costs 2x the split-DFT's MXU work (no
+# even/odd split -- a lane-parity deinterleave would reintroduce the
+# relayout this kernel exists to remove).  Whether the saved relayout
+# beats the extra MXU passes is a chip measurement (bench candidate
+# "pallas-fmaj-i16"); accuracy is the recomp/dft family's (full f32
+# HIGHEST, same operators).
+# Replaces the same reference stages as the other whole-stream kernels
+# (preemph.py:20-27, frame.py:86-114, window.py:84, fft.py:197-346,
+# pow2.py:22-64, filterbank.py:90-115, log/dct via the float spec).
+
+
+def _mfcc_fmaj_kernel(xa_ref, xb_ref, prev_ref, cs_ref, mel_ref, dct_ref,
+                      out_ref, fbuf, *, nfft, hop, nbins, ncep, bf, nseg,
+                      mel_floor=0.0):
+    C = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)      # (2bf, hop)
+    if C.dtype != jnp.float32:
+        C = C.astype(jnp.float32)      # int16 wire input: upcast in VMEM
+    rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
+    lanecol = jax.lax.broadcasted_iota(jnp.int32, C.shape, 1)
+    left = pltpu.roll(C, 1, 1)                   # lane p <- p-1 (wraps p=0)
+    up_last = pltpu.roll(left, 1, 0)             # row r lane 0 <- C[r-1, -1]
+    prev = jnp.where(lanecol == 0, up_last, left)
+    prev = jnp.where((rows == 0) & (lanecol == 0), prev_ref[0, 0, 0], prev)
+    E = C - jnp.float32(framing.EMPHASIS_COEFF) * prev
+
+    # frame j (sublane j) = hop-segments j..j+nseg-1 at lane offsets q*hop
+    for q in range(nseg):
+        p0 = q * hop
+        w = min(hop, nfft - p0)
+        fbuf[:, p0: p0 + w] = E[q: q + bf, :w]
+
+    hi = jax.lax.Precision.HIGHEST
+    reim = jnp.dot(fbuf[:], cs_ref[:],
+                   preferred_element_type=jnp.float32,
+                   precision=hi)                             # (bf, 2*nbins)
+    re = reim[:, :nbins]
+    im = reim[:, nbins:]
+    power = re * re + im * im                                # (bf, nbins)
+    melspec = jnp.dot(power, mel_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=hi)                          # (bf, ntap)
+    if mel_floor:
+        melspec = jnp.maximum(melspec, jnp.float32(mel_floor))
+    logmel = jnp.log2(melspec)
+    out_ref[0] = jnp.dot(logmel, dct_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=hi)                       # (bf, ncep)
+
+
+def mfcc_pallas_fmaj(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
+                     *, bf: int = BF, interpret: bool = False,
+                     mel_floor: float = 0.0) -> jnp.ndarray:
+    """Fused frame-major kernel on RAW audio: (..., T) -> (..., F, ncep).
+    f32-HIGHEST throughout; int16 input streams as int16 and upcasts in
+    VMEM.  See the layout rationale above."""
+    if audio.dtype != jnp.int16:
+        audio = audio.astype(jnp.float32)
+    lead = audio.shape[:-1]
+    if audio.ndim == 1:
+        audio = audio[None]
+    elif audio.ndim > 2:
+        audio = audio.reshape(-1, audio.shape[-1])
+    S, T = audio.shape
+    nfft, hop, ncep = cfg.nfft, cfg.hop, cfg.nceptrums
+    nbins = nfft // 2
+    nseg = -(-nfft // hop)
+    assert bf >= nseg, "frame assembly reads rows q..q+bf-1, q < nseg"
+    F = cfg.n_frames(T)
+    assert F >= 1, "signal shorter than one frame"
+    nblocks = -(-F // bf)
+    Fp = nblocks * bf
+    N = S * nblocks
+
+    # hop-row layout, sublane tiles: block n reads row-tiles n and n+1
+    Lp = (nblocks + 1) * bf
+    need = Lp * hop
+    if need > T:
+        audio = jnp.pad(audio, ((0, 0), (0, need - T)))
+    rows = audio[:, : Lp * hop].reshape(S, Lp, hop)          # FREE reshape
+    prev_idx = jnp.maximum(jnp.arange(nblocks) * bf * hop - 1, 0)
+    prevs = (audio[:, prev_idx].astype(jnp.float32)
+             * (jnp.arange(nblocks) > 0)).reshape(N, 1, 1)
+
+    CS, mel, dct = _kernel_operators(cfg)
+
+    out = pl.pallas_call(
+        functools.partial(_mfcc_fmaj_kernel, nfft=nfft, hop=hop,
+                          nbins=nbins, ncep=ncep, bf=bf, nseg=nseg,
+                          mel_floor=mel_floor),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, bf, hop),
+                         lambda n, nb=nblocks: (n // nb, n % nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bf, hop),
+                         lambda n, nb=nblocks: (n // nb, n % nb + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nfft, 2 * nbins), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbins, cfg.nfilters), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.nfilters, ncep), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bf, ncep), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, bf, ncep), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bf, nfft), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, rows, prevs, jnp.asarray(CS), jnp.asarray(mel),
+      jnp.asarray(dct))
+    out = out.reshape(S, Fp, ncep)[:, :F]                    # FREE reshape
+    return out.reshape(lead + (F, ncep))

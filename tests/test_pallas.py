@@ -218,3 +218,30 @@ def test_pallas_frames_float(audio_int16, reference_wav):
         lambda f: pallas_mfcc.mfcc_pallas_frames_float(f, CFG))(frames))
     assert want.shape == got.shape
     assert np.abs(want - got).max() < 5e-4
+
+
+@pytest.mark.skipif(_backend() not in ("tpu",),
+                    reason="Mosaic kernel requires a TPU backend")
+def test_pallas_fmaj(audio_int16, reference_wav):
+    """Frame-major zero-relayout kernel compiled on hardware: the
+    lane-offset frame-assembly stores (offsets q*hop = 0/170/340/510) are
+    the Mosaic-lowering risk this test pins; gates + i16 parity as for the
+    other kernels."""
+    from mfcc_tpu.ops import pallas_mfcc
+    sig = np.stack([audio_int16, audio_int16[::-1]]).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_fmaj(a, CFG))(jnp.asarray(sig)))
+    want = np.stack([float_ref.mfcc_float(sig[i], CFG) for i in range(2)])
+    assert got.shape == want.shape == (2, 5, 32)
+    assert np.abs(want - got).max() < 5e-4
+    long = reference_wav
+    want_l = float_ref.mfcc_float(long, CFG)
+    f32 = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_fmaj(a, CFG))(
+        jnp.asarray(long[None], jnp.float32)))[0]
+    assert want_l.shape == f32.shape
+    assert np.abs(want_l - f32).max() < 5e-4
+    i16 = np.asarray(jax.jit(
+        lambda a: pallas_mfcc.mfcc_pallas_fmaj(a, CFG))(
+        jnp.asarray(long[None], jnp.int16)))[0]
+    assert np.array_equal(f32, i16)

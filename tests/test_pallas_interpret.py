@@ -130,3 +130,28 @@ def test_interpret_float_radix2_operator_layouts_agree(cpu, sig2):
         pallas_mfcc.R2_PACK256 = saved
         pallas_mfcc._radix2_operators.cache_clear()
     assert np.abs(outs[True] - outs[False]).max() < 1e-5
+
+
+def test_interpret_float_fmaj(cpu, sig2):
+    """The zero-relayout frame-major kernel: oracle gate, i16-ingest
+    bit-parity with the f32 route, multi-block path, and the mel_floor
+    silence clamp."""
+    with jax.default_device(cpu):
+        got = np.asarray(pallas_mfcc.mfcc_pallas_fmaj(
+            sig2, CFG, interpret=True))
+        want = _float_want(sig2)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 5e-4
+        i16 = np.asarray(pallas_mfcc.mfcc_pallas_fmaj(
+            sig2.astype(np.int16), CFG, interpret=True))
+        assert np.array_equal(got, i16)
+        # multi-block: small bf so nblocks > 1 on the short fixture
+        mb = np.asarray(pallas_mfcc.mfcc_pallas_fmaj(
+            sig2, CFG, bf=4, interpret=True))
+        # block size changes matmul tiling, not values beyond f32 noise
+        assert np.abs(got - mb[:, : got.shape[1]]).max() < 1e-4
+        # silence clamp: an all-zero stream yields exactly-zero cepstra
+        silent = np.zeros((1, sig2.shape[1]), np.float32)
+        fl = np.asarray(pallas_mfcc.mfcc_pallas_fmaj(
+            silent, CFG, interpret=True, mel_floor=1.0))
+        assert np.isfinite(fl).all() and np.abs(fl).max() == 0.0
