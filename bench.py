@@ -131,7 +131,10 @@ def _supervise(argv):
     env = dict(os.environ)
     env["MFCC_BENCH_CHILD"] = "1"
     env["MFCC_BENCH_PARTIAL"] = partial_path
-    ablate = "--ablate" in argv
+    # persist compiles across bench runs (post-outage re-verification cost)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/mfcc_tpu_jax"))
+    diagnostic = "--ablate" in argv or "--latency" in argv
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), *argv],
         env=env, stdout=subprocess.PIPE, text=True)  # stderr passes through
@@ -151,7 +154,7 @@ def _supervise(argv):
             return {}
 
     try:
-        if ablate:   # diagnostic mode: no JSON-line contract
+        if diagnostic:   # --ablate/--latency: no JSON-line contract
             sys.stdout.write(out or "")
             return 124 if timed_out else proc.returncode
         parsed = None
@@ -544,6 +547,9 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--ablate", action="store_true",
                     help="print the radix-2 per-stage cost table and exit")
+    ap.add_argument("--latency", action="store_true",
+                    help="print the small-chunk latency/capacity curve "
+                         "and exit")
     args = ap.parse_args()
 
     import jax
@@ -554,6 +560,10 @@ def main():
     if args.ablate:
         bench_ablate(cfg, S=args.streams or 1024,
                      secs=args.seconds or 4.0)
+        return 0
+    if args.latency:
+        bench_latency(cfg, S=args.streams or 4096,
+                      iters=args.iters or 24)
         return 0
 
     if args.quick:

@@ -12,6 +12,12 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+# Persist compiled executables across test processes (round-3 VERDICT weak
+# #8: after a tunnel outage, re-verification should not re-pay every remote
+# kernel compile).  Harmless on CPU; override with your own cache dir.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/mfcc_tpu_jax"))
 
 import numpy as np
 import pytest
