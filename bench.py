@@ -339,24 +339,52 @@ def bench_int(cfg, S, T, F, iters):
         return 0.0, False
 
 
+def f64ish_gate_err(cfg):
+    """The f64ish accuracy metric in the mode's own gate units: max over
+    elements of |got - want| / max(1e-5, 2 ulp(want)) -- <= 1.0 passes.
+    (A flat max-abs-1e-5 would spuriously fail on large-|c0| elements
+    whose 2-ulp f32 floor exceeds 1e-5; see docs/BENCH.md round 3f.)"""
+    import os
+    import jax.numpy as jnp
+    from mfcc_tpu.ref import float_ref
+    fn = build_fn(cfg, "f64ish")
+    sigs = [make_audio(2, 512 + 4 * 170, seed=7)]
+    wav = "/root/reference/f2bjrop1.0.wav"
+    if os.path.exists(wav):
+        from scipy.io import wavfile
+        _, audio = wavfile.read(wav)
+        sigs.append(audio[: 512 + 18 * 170].astype(np.float32)[None]
+                    .repeat(2, 0))
+    worst = 0.0
+    for sig in sigs:
+        want = np.stack([float_ref.mfcc_float(sig[i], cfg)
+                         for i in range(sig.shape[0])])
+        got = np.asarray(fn(jnp.asarray(sig), jnp.float32(0.0)))
+        tol = np.maximum(F64ISH_GATE,
+                         2 * np.abs(want) * np.finfo(np.float32).eps)
+        worst = max(worst, float((np.abs(want - got) / tol).max()))
+    return worst
+
+
 def bench_f64ish(cfg, S=256, T=None, iters=3):
     """The compensated double-f32 accuracy mode's cost curve (round-3
-    VERDICT weak #7): frames/s at the 1e-5 gate.  Returns (fps, err);
-    (0, err) if the gate fails, (0, inf) if the run fails."""
+    VERDICT weak #7): frames/s at the elementwise max(1e-5, 2 ulp) gate.
+    Returns (fps, err-in-gate-units); (0, err) if the gate fails,
+    (0, inf) if the run fails."""
     import jax
     import jax.numpy as jnp
     try:
         T = T or cfg.nfft + 46 * cfg.hop   # ~0.5 s/stream: it is a slow mode
         F = cfg.n_frames(T)
-        err = accuracy_of(cfg, "f64ish")
-        print(f"# f64ish accuracy: {err:.2e} "
-              f"({'OK' if err <= F64ISH_GATE else 'REJECT'} at "
-              f"{F64ISH_GATE:.0e})", file=sys.stderr)
+        err = f64ish_gate_err(cfg)
+        print(f"# f64ish accuracy: {err:.3f} gate-units "
+              f"({'OK' if err <= 1.0 else 'REJECT'}; 1.0 = elementwise "
+              "max(1e-5, 2 ulp))", file=sys.stderr)
         x = jax.device_put(jnp.asarray(make_audio(S, T, seed=5)))
         float(jnp.abs(x).max())
         fps = time_fused(cfg, "f64ish", x, S * F, reps=4, iters=iters)
         print(f"# f64ish: {fps/1e6:.3f} Mframes/s (S={S})", file=sys.stderr)
-        return (fps if err <= F64ISH_GATE else 0.0), err
+        return (fps if err <= 1.0 else 0.0), err
     except Exception as e:
         print(f"# f64ish bench FAILED: {e!r}", file=sys.stderr)
         return 0.0, float("inf")
@@ -667,7 +695,7 @@ def main():
                       vs_baseline=round(fps / BASELINE_FRAMES_PER_S, 2))
         f64_fps, f64_err = bench_f64ish(cfg)
         _save_partial(f64ish_frames_per_second=round(f64_fps, 1),
-                      f64ish_max_abs_err=f64_err)
+                      f64ish_gate_err=f64_err)
 
     print(json.dumps({
         "metric": "mfcc_frames_per_second",
@@ -677,7 +705,7 @@ def main():
         "int_frames_per_second": round(int_fps, 1),
         "int_bit_exact": int_exact,
         "f64ish_frames_per_second": round(f64_fps, 1),
-        "f64ish_max_abs_err": (round(f64_err, 10)
+        "f64ish_gate_err": (round(f64_err, 6)
                                if np.isfinite(f64_err) else None),
         **serving,
     }))
