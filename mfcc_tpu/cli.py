@@ -4,6 +4,7 @@ Mirrors the reference's console scripts and host tools (setup.py:25-31,
 software/):
 
   convert   batch wav dir -> .mfcc int16 files     (wav2mfcc + main.c:206-247)
+  serve     long-lived TCP feature server          (the FPGA's device role)
   stream    sample-word stream -> framed features  (mic2mfcc + recv)
   recv      decode a framed feature stream          (recv.py/recv.c)
   goldens   librosa-recipe .spec/.sklearn goldens   (genlibrosa.py)
@@ -360,6 +361,50 @@ def cmd_selftest(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_serve(args) -> int:
+    """Run the FeatureServer as a long-lived TCP service -- the reference's
+    device role (the FPGA behind the FT601 link, wav2mfcc.py:15-47) as a
+    deployable process.  Clients speak the same wire protocol as the
+    reference host tools: uint32 sample words in (bit 31 = soft reset),
+    magic-framed big-endian int16 feature columns out."""
+    import time as _time
+    from .config import MFCCConfig
+    from .server import FeatureServer
+
+    cfg = MFCCConfig(nceptrums=args.ncep)
+    srv = FeatureServer(cfg, host=args.host, port=args.port,
+                        max_streams=args.streams, chunk=args.chunk,
+                        int_path=not args.float,
+                        device=_cli_device(args.backend),
+                        transposed_chunks=args.transposed_chunks,
+                        pipeline_depth=args.pipeline_depth)
+    path = "float" if args.float else "bit-exact INT"
+    print(f"warming up ({path} path, {args.streams} slots, "
+          f"chunk={args.chunk} samples = "
+          f"{1e3 * args.chunk / cfg.samplerate:.0f} ms)...", flush=True)
+    srv.start()
+    host, port = srv.address
+    print(f"serving on {host}:{port}", flush=True)
+    t0 = _time.time()
+    try:
+        while args.duration is None or _time.time() - t0 < args.duration:
+            _time.sleep(min(args.stats_every,
+                            1.0 if args.duration else args.stats_every))
+            st = srv.stats()
+            if args.duration is None or st["steps"]:
+                act = srv.activity()
+                busy = sum(1 for rx, _ in act if rx)
+                print(f"slots_seen={busy}/{args.streams} "
+                      f"steps={st['steps']} frames_tx={st['frames_tx']} "
+                      f"gather={st['gather_s']:.1f}s "
+                      f"compute={st['compute_s']:.1f}s "
+                      f"deliver={st['deliver_s']:.1f}s", flush=True)
+    except KeyboardInterrupt:
+        print("stopping", flush=True)
+    srv.stop()
+    return 0
+
+
 def cmd_probe(args) -> int:
     """Dump every pipeline stage's output for a wav -- the LiteScope /
     gen_collector observability role (debug/scope.py, mfcc.py:128-141) as
@@ -477,6 +522,30 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("selftest", help="pipeline vs oracles")
     p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser("serve", help="run the TCP FeatureServer")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5533)
+    p.add_argument("--streams", type=int, default=64,
+                   help="max concurrent client slots (one batched step)")
+    p.add_argument("--chunk", type=int, default=1024,
+                   help="samples per batched step; smaller = lower latency,"
+                        " larger = more capacity (bench.py --latency)")
+    p.add_argument("--ncep", type=int, default=32)
+    p.add_argument("--float", action="store_true",
+                   help="float path (serving default is bit-exact INT); "
+                        "silence clamps like the RTL (mel_floor=1)")
+    p.add_argument("--backend", choices=("cpu", "default"), default="default",
+                   help="'cpu' pins to the host CPU (instant start, small "
+                        "deployments); 'default' = ambient backend (TPU)")
+    p.add_argument("--transposed-chunks", action="store_true",
+                   help="gather chunks positions-major (relayout-free "
+                        "device step)")
+    p.add_argument("--pipeline-depth", type=int, default=2)
+    p.add_argument("--stats-every", type=float, default=10.0)
+    p.add_argument("--duration", type=float, default=None,
+                   help="exit after N seconds (default: run until SIGINT)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("probe", help="dump all pipeline stages (.npz)")
     p.add_argument("wav")

@@ -205,3 +205,53 @@ def test_f64_high_accuracy_mode(audio_int16):
         except Exception as e:  # pragma: no cover - backend-dependent
             pytest.skip(f"f64 unsupported on this backend: {e}")
     assert np.abs(want - got).max() < 1e-8
+
+
+def test_cli_serve_end_to_end(audio_int16):
+    """`cli serve` as a process surface: start on the CPU backend for a
+    bounded duration, stream a client through it, exact features."""
+    import threading
+    import time as _time
+    from mfcc_tpu import cli
+    from mfcc_tpu import server as srv_mod
+    from mfcc_tpu.ref import int_ref
+
+    rc = {}
+
+    def run():
+        rc["rc"] = cli.main(["serve", "--port", "0", "--streams", "2",
+                             "--chunk", "512", "--backend", "cpu",
+                             "--duration", "25", "--stats-every", "5"])
+
+    # capture the bound port: cli prints "serving on host:port"
+    import io
+    import sys as _sys
+    buf = io.StringIO()
+    old = _sys.stdout
+
+    def run_capture():
+        _sys.stdout = buf
+        try:
+            run()
+        finally:
+            _sys.stdout = old
+
+    th = threading.Thread(target=run_capture, daemon=True)
+    th.start()
+    deadline = _time.time() + 60
+    port = None
+    while _time.time() < deadline and port is None:
+        m = [l for l in buf.getvalue().splitlines()
+             if l.startswith("serving on ")]
+        if m:
+            port = int(m[0].rsplit(":", 1)[1])
+        else:
+            _time.sleep(0.2)
+    assert port is not None, buf.getvalue()
+    sig = audio_int16.astype(np.int16)
+    want = int_ref.mfcc_int(sig.astype(np.int64)).astype(np.int16)
+    cols = srv_mod.stream_samples("127.0.0.1", port, sig, 32,
+                                  expect_frames=want.shape[0], timeout=45.0)
+    assert np.array_equal(cols, want)
+    th.join(timeout=60)
+    assert rc.get("rc") == 0
