@@ -62,7 +62,10 @@ FB_LIMB_BITS = 8
 # 16-bit swapaxes it replaces measured ~3.3 ms/run at the headline shape,
 # docs/BENCH.md round 3h).  Bit-exactness untouched: the transpose is a
 # pure relayout before any arithmetic.
-INT_KERNEL_T = True
+# Round-4 chip A/B (3 interleaved rounds): False 32.18 vs True 31.42
+# Mf/s -- as with R2_KERNEL_T the host transpose now wins on the current
+# runtime, so the flag reverts; both paths stay bit-exact-tested.
+INT_KERNEL_T = False
 
 # DCT ladder layout: True = sigma (even/odd) rows.  The 4N interleave fill
 # (dct_stream.py:29-34) writes only ODD natural rows -- in sigma layout the

@@ -909,7 +909,12 @@ R2_PACK256 = True
 # tile lanes hop->256 so the VMEM transposes are clean 128-lane blocks --
 # measured WORSE: the bulk pad copy costs more than the masked 42-lane
 # remainder it removes; docs/BENCH.md round 3h.)
-R2_KERNEL_T = True
+# Round-4 chip A/B (3 interleaved rounds, repeatable to +-0.05 Mf/s):
+# False 49.69 vs True 47.94 Mf/s -- the runtime's i16 host transpose no
+# longer shows the round-3h pathology (the False arm gained +16% across
+# the runtime refresh while True gained +4%), so the host swapaxes ships
+# again; the in-kernel path stays selectable and interpret-tested.
+R2_KERNEL_T = False
 
 
 @functools.lru_cache(maxsize=None)

@@ -117,7 +117,12 @@ def _barrel_sublane(x, start_row, Wp: int, nbits: int):
 # writing slot columns) -- and needs NO transpose anywhere, host or VMEM.
 # The carry/start/prev operands keep the lane-sliced transposed layout in
 # all cases (the carry never round-trips under transposed_state anyway).
-STREAM_CHUNK_T = True
+# Round-4 chip A/B at S=4096/C=1024 (k real-time streams): time 191.1 /
+# stream 188.8 / positions 192.1 (float), 147.9 / 146.8 / 146.0 (int) --
+# ~1% spread, same direction as the batch flags, so the default reverts
+# to the host-transpose "time" layout; all three stay selectable and
+# bit-exact-tested (test_stream_kernel_chunk_layouts_agree).
+STREAM_CHUNK_T = False
 
 
 def _resolve_chunk_layout(chunk_layout):
