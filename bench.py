@@ -134,7 +134,8 @@ def _supervise(argv):
     # persist compiles across bench runs (post-outage re-verification cost)
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.expanduser("~/.cache/mfcc_tpu_jax"))
-    diagnostic = "--ablate" in argv or "--latency" in argv
+    diagnostic = ("--ablate" in argv or "--ablate-int" in argv
+                  or "--latency" in argv)
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), *argv],
         env=env, stdout=subprocess.PIPE, text=True)  # stderr passes through
@@ -521,36 +522,45 @@ def bench_latency(cfg, S=4096, iters=24):
                 print(f"# {name} C={C}: FAILED ({e!r})", file=sys.stderr)
 
 
-def bench_ablate(cfg, S=1024, secs=4.0):
-    """Per-stage cost attribution of the shipped radix-2 i16 kernel via
-    the in-kernel truncation hook (docs/BENCH.md round 3h methodology);
-    prints a cumulative table to stderr.  Not part of the JSON line --
-    run explicitly with --ablate (each cut is a fresh Mosaic compile)."""
+def bench_ablate(cfg, S=1024, secs=4.0, int_path=False):
+    """Per-stage cost attribution of the shipped radix-2 i16 kernel (or,
+    with ``int_path``, the bit-exact INT v3 kernel) via the in-kernel
+    truncation hooks (docs/BENCH.md round 3h methodology); prints a
+    cumulative table to stderr.  Not part of the JSON line -- run
+    explicitly with --ablate / --ablate-int (each cut is a fresh Mosaic
+    compile)."""
     import jax
     import jax.numpy as jnp
-    from mfcc_tpu.ops import pallas_mfcc
+    from mfcc_tpu.ops import pallas_mfcc, pallas_int
 
     T = cfg.nfft + int(round((secs * cfg.samplerate - cfg.nfft)
                              / cfg.hop)) * cfg.hop
     F = cfg.n_frames(T)
-    x = jax.device_put(jnp.asarray(make_audio(S, T), jnp.int16))
+    dt = jnp.int32 if int_path else jnp.int16
+    x = jax.device_put(jnp.asarray(make_audio(S, T), dt))
     int(jnp.abs(x).max())
     reps, iters = 8, 3
     full = None
-    for stop in (None, "raw", "pre", "emph", "frames", "dft", "power",
-                 "mel"):
-        base = lambda a, st=stop: pallas_mfcc.mfcc_pallas_radix2(
-            a, cfg, stop_after=st)
+    cuts = ((None, "raw", "emph", "frames", "window", "fft", "power",
+             "mel", "logmel") if int_path else
+            (None, "raw", "pre", "emph", "frames", "dft", "power", "mel"))
+    for stop in cuts:
+        if int_path:
+            base = lambda a, st=stop: pallas_int.mfcc_int_pallas_v3(
+                a, cfg, stop_after=st)
+        else:
+            base = lambda a, st=stop: pallas_mfcc.mfcc_pallas_radix2(
+                a, cfg, stop_after=st)
 
         def repfn(a, s, base=base):
             return jnp.stack([base(a + (s + r))[0, 0, 0]
                               for r in range(reps)])
         fn = jax.jit(repfn)
-        float(fn(x, jnp.asarray(0, jnp.int16)).sum())
+        float(fn(x, jnp.asarray(0, dt)).sum())
         best = float("inf")
         for rep in range(3):
             t0 = time.perf_counter()
-            acc = [fn(x, jnp.asarray(1 + 10 * rep + i, jnp.int16))
+            acc = [fn(x, jnp.asarray(1 + 10 * rep + i, dt))
                    for i in range(iters)]
             float(jnp.stack(acc).sum())
             best = min(best, (time.perf_counter() - t0) / (iters * reps))
@@ -575,6 +585,8 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--ablate", action="store_true",
                     help="print the radix-2 per-stage cost table and exit")
+    ap.add_argument("--ablate-int", action="store_true",
+                    help="print the INT v3 per-stage cost table and exit")
     ap.add_argument("--latency", action="store_true",
                     help="print the small-chunk latency/capacity curve "
                          "and exit")
@@ -585,9 +597,9 @@ def main():
     from mfcc_tpu.config import MFCCConfig
     cfg = MFCCConfig()
 
-    if args.ablate:
+    if args.ablate or args.ablate_int:
         bench_ablate(cfg, S=args.streams or 1024,
-                     secs=args.seconds or 4.0)
+                     secs=args.seconds or 4.0, int_path=args.ablate_int)
         return 0
     if args.latency:
         bench_latency(cfg, S=args.streams or 4096,

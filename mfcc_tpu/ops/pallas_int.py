@@ -56,6 +56,17 @@ FB_STACKED = True
 # 4x sublane repack of every (nbins, lanes) RHS.
 FB_LIMB_BITS = 8
 
+# Hold the 8-bit limbs in FULL f32 (weights AND the power-limb RHS) instead
+# of bf16: no sub-word packed layout anywhere in the filterbank stage.
+# Exactness is unchanged -- limb values are integers in [0, 255], exactly
+# representable in bf16, so every MXU pass multiplies exact operands and
+# accumulates in f32 below 2^24 (same argument as the bf16 path).  Round-4
+# experiment: the INT ablation attributes 4.9 ms (41%) to the fb stage
+# while its FLOPs are ~trivial, and the two formulations A/B'd in round 3e
+# (int8, bf16) BOTH pay Mosaic sub-word relayouts on the (nbins, lanes)
+# cast -- f32 is the arm that pays none.
+FB_LIMB_F32 = False
+
 # Ship the v3 super-block tiles UNTRANSPOSED (bf, hop) -- a free host
 # reshape -- and transpose each packed-i16 tile in VMEM on the hardware
 # transpose path (the INT twin of pallas_mfcc.R2_KERNEL_T: the host XLA
@@ -174,6 +185,8 @@ def _fb_limb_matrix(cfg: MFCCConfig):
         return limbs.astype(np.int8), shift
     assert (1 << bits) - 1 <= 255 and ((1 << bits) - 1) ** 2 * nbins < 1 << 24, \
         "bf16-limb filterbank partial sums would exceed exact f32 range"
+    if FB_LIMB_F32:
+        return limbs.astype(np.float32), shift
     import ml_dtypes
     return limbs.astype(ml_dtypes.bfloat16), shift
 
@@ -348,6 +361,9 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     wi_e = wi[:nbins]
     s = wr_e * wr_e + wi_e * wi_e
     power = jax.lax.shift_right_logical(s, jnp.int32(2 * 16 - cfg.power_width))
+    if stop_after == "power":
+        out_ref[0] = power[: cfg.nceptrums]
+        return
 
     # 3. integer filterbank: limb MXU matmuls (rows pre-permuted,
     # conjugate-zero columns dropped -- _fb_limb_matrix).  Radix follows
@@ -359,7 +375,9 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     bits = 7 if fb_ref.dtype == jnp.int8 else 8
     mask = (1 << bits) - 1
     acc_t = jnp.int32 if bits == 7 else jnp.float32
-    limb_t = jnp.int8 if bits == 7 else jnp.bfloat16
+    # power limbs ride in the SAME dtype as the weight operand (int8 /
+    # bf16 / f32 under FB_LIMB_F32 -- the no-sub-word-packing arm)
+    limb_t = jnp.int8 if bits == 7 else fb_ref.dtype
     n_w = fb_ref.shape[0]
     n_p = -(-cfg.power_width // bits)
     p_limbs = [((power >> (bits * j)) & mask).astype(limb_t)
@@ -639,7 +657,7 @@ NBMAX_INT = 4  # lane-tiles per whole-stream super-block (VMEM cap)
 def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
                    dtw_ref, out_ref, fbuf, dbuf_r, *,
                    cfg: MFCCConfig, fb_shift: int, bf: int, nseg: int,
-                   nbk: int, kernel_t=False):
+                   nbk: int, kernel_t=False, stop_after=None):
     """Whole-stream variant of _int_kernel_v2: one super-block reads nbk+1
     contiguous lane-tiles (no tile double-read), rebuilds nbk blocks of
     frames into one (nfft, nbk*bf) matrix, and runs the ladder and the
@@ -653,6 +671,10 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     if kernel_t:                     # (bf, hop) tiles: HW transpose
         tiles = [t.T for t in tiles]
     C = jnp.concatenate(tiles, axis=1).astype(jnp.int32)  # (hop, (nbk+1)*bf)
+    ncep = cfg.nceptrums
+    if stop_after == "raw":       # profiling cut: DMA + concat + upcast
+        out_ref[0] = C[:ncep, :L]
+        return
     rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
     lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
     up = pltpu.roll(C, 1, 0)                        # row t <- row t-1
@@ -661,6 +683,9 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     prev = jnp.where(rows == 0, prev_row0, up)
     # y = wrap16(x + (prev >> 5) - prev)  (preemph.py:23)
     E = framing.wrap_signed(C + (prev >> 5) - prev, cfg.width)
+    if stop_after == "emph":      # profiling cut: + pre-emphasis
+        out_ref[0] = E[:ncep, :L]
+        return
     # sigma-layout rebuild: even positions -> rows [0, nfft/2), odd ->
     # [nfft/2, nfft) (one cheap (hop/2, 2, lanes) value reshape; hop even)
     half = nfft // 2
@@ -677,19 +702,29 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
             fbuf[half + p0 // 2: half + p0 // 2 + ho,
                  b * bf:(b + 1) * bf] = Eod[:ho, lane: lane + bf]
     x = fbuf[:]                                           # (nfft, L) int32
+    if stop_after == "frames":    # profiling cut: + frame rebuild
+        out_ref[0] = x[:ncep, :L]
+        return
     # (wincol comes sigma-permuted from the host)
     xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
                              cfg.width)
+    if stop_after == "window":    # profiling cut: + window multiply
+        out_ref[0] = xw[:ncep, :L]
+        return
     wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
                      final_half_only=True,
                      zero_imag_stages=_zero_imag_stage_count(nfft))
+    if stop_after == "fft":       # profiling cut: + the 9-stage ladder
+        out_ref[0] = wr[:ncep, :L] + wi[:ncep, :L]
+        return
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
-                     cfg=cfg, fb_shift=fb_shift, lanes=L)
+                     cfg=cfg, fb_shift=fb_shift, lanes=L,
+                     stop_after=stop_after)
 
 
 def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
-                       *, bf: int = BF,
-                       interpret: bool = False) -> jnp.ndarray:
+                       *, bf: int = BF, interpret: bool = False,
+                       stop_after: str | None = None) -> jnp.ndarray:
     """Fused bit-exact INT pipeline, v3: v2's in-kernel pre-emphasis /
     framing / windowing plus whole-stream super-blocks (the float radix-2
     kernel's blocking).  (S, T) int16-range -> (S, F, nceptrums) int32."""
@@ -745,7 +780,7 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     out = pl.pallas_call(
         functools.partial(_int_kernel_v3, cfg=cfg, fb_shift=fb_shift,
                           bf=bf, nseg=nseg, nbk=nbk,
-                          kernel_t=INT_KERNEL_T),
+                          kernel_t=INT_KERNEL_T, stop_after=stop_after),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, nbk) + tile,
