@@ -153,10 +153,11 @@ def _ladder_packed_constants(size: int, width: int = 16,
 
 @functools.lru_cache(maxsize=None)
 def _fb_limb_matrix(cfg: MFCCConfig):
-    """Filterbank limb matrices with bin->row permutation folded in:
-    (n_w, ntap, nbins) where column r holds the weight of FFT output row r
-    (= bin bitrev(r) if that bin < nbins, else 0).  Limb radix/dtype follow
-    FB_LIMB_BITS (see the flag comment)."""
+    """Filterbank limb matrices with bin->row permutation folded in,
+    row-stacked 2-D: (n_w*ntap, nbins), limb i = rows [i*ntap, (i+1)*ntap),
+    where column r holds the weight of FFT output row r (= bin bitrev(r)
+    if that bin < nbins, else 0).  Limb radix/dtype follow FB_LIMB_BITS
+    (see the flag comment)."""
     size = cfg.nfft
     L = int(np.log2(size))
     Wnp, shift = int_ops._fb_constants(cfg.samplerate, cfg.nfft,
@@ -179,8 +180,13 @@ def _fb_limb_matrix(cfg: MFCCConfig):
     mask = (1 << bits) - 1
     wbits = max(1, int(perm.max()).bit_length())
     n_w = -(-wbits // bits)
-    limbs = np.stack([((perm >> (bits * i)) & mask).T
-                      for i in range(n_w)])        # (n_w, ntap, nbins)
+    # ROW-STACKED 2-D (n_w*ntap, nbins): the kernel consumes limb i as
+    # rows [i*ntap, (i+1)*ntap) -- shipping it stacked means the stacked
+    # dot (FB_STACKED) uses the ref directly, with no in-kernel
+    # (n_w, ntap, nbins) -> (n_w*ntap, nbins) sublane-merging relayout.
+    # Chip-neutral (docs/BENCH.md round 4e) but strictly less kernel work.
+    limbs = np.concatenate([((perm >> (bits * i)) & mask).T
+                            for i in range(n_w)])  # (n_w*ntap, nbins)
     if bits == 7:
         return limbs.astype(np.int8), shift
     assert (1 << bits) - 1 <= 255 and ((1 << bits) - 1) ** 2 * nbins < 1 << 24, \
@@ -378,9 +384,12 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     # power limbs ride in the SAME dtype as the weight operand (int8 /
     # bf16 / f32 under FB_LIMB_F32 -- the no-sub-word-packing arm)
     limb_t = jnp.int8 if bits == 7 else fb_ref.dtype
-    n_w = fb_ref.shape[0]
+    n_w = fb_ref.shape[0] // ntap          # rows come limb-stacked (2-D)
     n_p = -(-cfg.power_width // bits)
-    p_limbs = [((power >> (bits * j)) & mask).astype(limb_t)
+    # the TOP power limb needs no mask: power < 2^power_width, so the
+    # shifted-down remainder is already < 2^bits
+    p_limbs = [(power >> (bits * j) if bits * (j + 1) >= cfg.power_width
+                else (power >> (bits * j)) & mask).astype(limb_t)
                for j in range(n_p)]
     D = [None, None, None, None]       # base-2^23 digits of S
     need_bits = fb_shift + 16
@@ -394,6 +403,19 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
             hi = P >> (23 - t)
             D[dd + 1] = hi if D[dd + 1] is None else D[dd + 1] + hi
 
+    # Group partial products by TOTAL shift class s = i + j before the
+    # digit split: every (i, j) pair with the same s lands at the same
+    # bit offset, so one plain int32 add replaces the pair's whole
+    # mask/shift/add digit-accumulate (15 pairs -> 6 classes for the
+    # reference widths).  Exact: each class sums <= n_w partials of
+    # < 2^24 (bf16/f32 arms) -> < 2^26, no int32 overflow; the digit
+    # sums stay < 2^28 before the final carry propagation.
+    smax = (need_bits - 1) // bits
+    T = [None] * (smax + 1)
+
+    def class_add(P, s):
+        T[s] = P if T[s] is None else T[s] + P
+
     if FB_STACKED:
         # Row-stack the weight limb matrices into ONE (n_w*ntap, nbins) LHS
         # and issue a single dot per POWER limb: the MXU cost is streaming
@@ -403,7 +425,7 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
         # consumed 16-bit window [fb_shift, fb_shift+16) are discarded
         # post-dot (digit carries only propagate upward, so computing them
         # cannot alias into the consumed bits).
-        fbs = fb_ref[:].reshape(n_w * ntap, nbins)
+        fbs = fb_ref[:]                    # already (n_w*ntap, nbins)
         for j in range(n_p):
             if bits * j >= need_bits:
                 continue
@@ -411,21 +433,22 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
             if acc_t is jnp.float32:
                 Pall = Pall.astype(jnp.int32)
             for i in range(n_w):
-                sh = bits * (i + j)
-                if sh >= need_bits:
+                if i + j > smax:
                     continue
-                accum(Pall[i * ntap:(i + 1) * ntap], sh)
+                class_add(Pall[i * ntap:(i + 1) * ntap], i + j)
     else:
         for j in range(n_p):
             for i in range(n_w):
-                sh = bits * (i + j)
-                if sh >= need_bits:
+                if i + j > smax:
                     continue
-                P = jnp.dot(fb_ref[i], p_limbs[j],
+                P = jnp.dot(fb_ref[i * ntap:(i + 1) * ntap], p_limbs[j],
                             preferred_element_type=acc_t)
                 if acc_t is jnp.float32:
                     P = P.astype(jnp.int32)
-                accum(P, sh)
+                class_add(P, i + j)
+    for s in range(smax + 1):
+        if T[s] is not None:
+            accum(T[s], bits * s)
     zero = jnp.zeros((ntap, lanes), jnp.int32)
     D = [zero if v is None else v for v in D]
     for dd in range(3):
@@ -632,7 +655,7 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -796,7 +819,7 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -875,7 +898,7 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -944,7 +967,7 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
