@@ -916,6 +916,29 @@ R2_PACK256 = True
 # again; the in-kernel path stays selectable and interpret-tested.
 R2_KERNEL_T = False
 
+# MXU pass count for the radix-2 core's split-DFT dot.  6 = one
+# HIGHEST-precision f32 dot (Mosaic lowers it as 6 bf16 passes) --
+# the shipped default, required by the float path's 5e-4 contract.
+# 4 / 3 = decompose both operands into two bf16 limbs in-kernel and
+# issue the limb dots at DEFAULT precision (Mosaic rejects
+# lax.Precision.HIGH outright, so reduced-pass forms must be spelled
+# manually); 3 also drops lo*lo.  Round-4g chip A/B (docs/BENCH.md;
+# S=1024, errs = speech/synthetic vs the f64 oracle):
+#   6-pass  50.5 Mf/s   1.3e-4 / 1.4e-4   (contract default)
+#   4-pass  57.7 Mf/s   3.8e-4 / 1.07e-3
+#   3-pass  63.3 Mf/s   3.6e-4 / 1.01e-3  (the fast mode: +26%)
+# 4-pass == 3-pass accuracy because the binding error is the 2-limb
+# operand split itself (~2^-17 residual per operand), not the dropped
+# cross term; and no pass count below 6 can clear 5e-4, because the
+# pre-emphasized frame needs 22 mantissa bits (3 limbs) and covering
+# the 2^-16 cross-term class then takes all 6 combos.  So 3-pass is
+# the only interesting reduced point: an OPT-IN speed/accuracy dial
+# (~1e-3 worst-case; still far tighter than the reference RTL's
+# fixed-point error) mirroring f64ish on the other end.  Tested at a
+# 2e-3 gate; never the default.  The mel/DCT dots stay HIGHEST
+# (tiny K).
+R2_DFT_PASSES = 6
+
 
 @functools.lru_cache(maxsize=None)
 def _radix2_operators(cfg: MFCCConfig):
@@ -1057,9 +1080,26 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
     ncep = dct_ref.shape[0]
     fbuf2[:, :L] = fbuf2[:, :L] * we_ref[:]
     fbuf2[:, L:] = fbuf2[:, L:] * wo_ref[:]
-    eo = jnp.dot(csp_ref[:], fbuf2[:],
-                 preferred_element_type=jnp.float32,
-                 precision=hi)                      # (256 or 272, 2L)
+    if R2_DFT_PASSES < 6:
+        # manual reduced-pass form: two bf16 limbs per operand (see the
+        # flag comment; gate-enforced accuracy)
+        C = csp_ref[:]
+        X = fbuf2[:]
+        c_hi = C.astype(jnp.bfloat16)
+        c_lo = (C - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_hi = X.astype(jnp.bfloat16)
+        x_lo = (X - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        eo = (jnp.dot(c_hi, x_hi, preferred_element_type=jnp.float32)
+              + jnp.dot(c_hi, x_lo, preferred_element_type=jnp.float32)
+              + jnp.dot(c_lo, x_hi,
+                        preferred_element_type=jnp.float32))
+        if R2_DFT_PASSES >= 4:
+            eo = eo + jnp.dot(c_lo, x_lo,
+                              preferred_element_type=jnp.float32)
+    else:
+        eo = jnp.dot(csp_ref[:], fbuf2[:],
+                     preferred_element_type=jnp.float32,
+                     precision=hi)                  # (256 or 272, 2L)
     if stop_after == "dft":
         return eo[:ncep, :L]
     if csp_ref.shape[0] == 256:                     # packed two-M-tile layout

@@ -56,6 +56,22 @@ def test_interpret_float_radix2(cpu, sig2):
     assert np.array_equal(got, got16)
 
 
+def test_interpret_float_radix2_fast_mode(cpu, sig2):
+    """R2_DFT_PASSES=3 (the opt-in +26% fast mode, docs/BENCH.md round
+    4g): the reduced-pass split-DFT must hold a 2e-3 gate -- looser than
+    the 5e-4 contract (which is why it is never the default), far tighter
+    than the reference RTL's fixed-point error."""
+    old = pallas_mfcc.R2_DFT_PASSES
+    try:
+        pallas_mfcc.R2_DFT_PASSES = 3
+        with jax.default_device(cpu):
+            got = np.asarray(pallas_mfcc.mfcc_pallas_radix2(
+                sig2, CFG, interpret=True))
+    finally:
+        pallas_mfcc.R2_DFT_PASSES = old
+    assert np.abs(got - _float_want(sig2)).max() < 2e-3
+
+
 def test_interpret_float_recomp_t(cpu, sig2):
     with jax.default_device(cpu):
         got = np.asarray(pallas_mfcc.mfcc_pallas_recomp_t(
