@@ -528,7 +528,13 @@ def bench_ablate(cfg, S=1024, secs=4.0, int_path=False):
     truncation hooks (docs/BENCH.md round 3h methodology); prints a
     cumulative table to stderr.  Not part of the JSON line -- run
     explicitly with --ablate / --ablate-int (each cut is a fresh Mosaic
-    compile)."""
+    compile).
+
+    CAVEAT (measured, docs/BENCH.md round 4e): cumulative cuts measure
+    how Mosaic re-plans the WHOLE kernel, not a stage's marginal op
+    cost -- treat a stage's delta as a hypothesis and falsify it by
+    halving that stage's work before optimizing (the INT filterbank's
+    apparent 42% survived every targeted fix)."""
     import jax
     import jax.numpy as jnp
     from mfcc_tpu.ops import pallas_mfcc, pallas_int
