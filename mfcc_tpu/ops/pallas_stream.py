@@ -434,7 +434,7 @@ def stream_step_int(buffer, chunk, start, prev,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, tw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0, 0),
+            pl.BlockSpec(fb_limbs.shape, lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n4, dtw.shape[1]), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
