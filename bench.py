@@ -408,20 +408,27 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
     import jax.numpy as jnp
     from mfcc_tpu import streaming
 
+    from mfcc_tpu.ops import pallas_mfcc
+
     out = {}
     audio = make_audio(S, C, seed=11)
-    # (key suffix, int_path, transposed_chunks): the *_cht rows A/B the
-    # relayout-free positions-major chunk ingest (stderr only; the JSON
-    # keys stay the shipped default until a TPU measurement flips it)
-    variants = (("float", False, False), ("int", True, False),
-                ("float_cht", False, True), ("int_cht", True, True))
-    for name, int_path, chunks_t in variants:
+    # (key suffix, int_path, transposed_chunks, dft_passes): the *_cht
+    # rows A/B the relayout-free positions-major chunk ingest (stderr
+    # only; the JSON keys stay the shipped default until a TPU
+    # measurement flips it); the _fast row records the opt-in 3-pass
+    # mode's serving capacity (arithmetic gated by the batch fast-mode
+    # gate above / test_interpret_float_radix2_fast_mode)
+    variants = (("float", False, False, 6), ("int", True, False, 6),
+                ("float_cht", False, True, 6), ("int_cht", True, True, 6),
+                ("float_fast", False, False, 3))
+    for name, int_path, chunks_t, passes in variants:
         key = f"serving_streams_{name}"
         try:
+            pallas_mfcc.R2_DFT_PASSES = passes
             sm = streaming.StreamingMFCC(cfg, int_path=int_path,
                                          transposed_state=True,
                                          transposed_chunks=chunks_t)
-            if chunks_t and sm._fused_jit is None:
+            if (chunks_t or passes != 6) and sm._fused_jit is None:
                 out[key] = 0.0
                 continue                # fused-only variant; skip on CPU
             dt = jnp.int16 if sm._fused_jit is not None \
@@ -466,6 +473,8 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
         except Exception as e:
             print(f"# serving {name} FAILED: {e!r}", file=sys.stderr)
             out[key] = 0.0
+        finally:
+            pallas_mfcc.R2_DFT_PASSES = 6
     return out
 
 
