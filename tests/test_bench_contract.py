@@ -60,6 +60,26 @@ def test_bench_probe_raise_yields_parseable_json():
     assert dt < 60
 
 
+def test_bench_probe_transient_failure_is_retried(tmp_path):
+    """Round-4 VERDICT weak #1: a transient tunnel hang must cost a retry,
+    not the round.  The probe fails once (marker file absent), then
+    succeeds; the JSON line must record probe_attempts == 2 and proceed to
+    the child (which the tiny deadline then kills -- we only pin the retry
+    behavior here, not a full bench run)."""
+    marker = tmp_path / "probe_ok"
+    probe = ("import os, sys\n"
+             f"p = {str(marker)!r}\n"
+             "if os.path.exists(p):\n"
+             "    print('BACKEND_OK')\n"
+             "else:\n"
+             "    open(p, 'w').close(); sys.exit(1)\n")
+    proc, dt = _run_bench({"MFCC_BENCH_PROBE_CMD": probe,
+                           "MFCC_BENCH_DEADLINE": "4"}, timeout=180)
+    rec = _json_line(proc.stdout)
+    assert rec["probe_attempts"] == 2
+    assert "deadline" in rec["error"]
+
+
 def test_bench_child_deadline_yields_parseable_json():
     """Failure mode C (backend healthy at probe time, dies mid-run): the
     deadline-bounded child is killed and the supervisor still prints the
