@@ -68,6 +68,8 @@ def _json_keys():
             "unit": "frames/s", "vs_baseline": 0.0,
             "int_frames_per_second": 0.0, "int_bit_exact": False,
             "serving_streams_float": 0.0, "serving_streams_int": 0.0,
+            "serving_streams_float_scan": 0.0,
+            "serving_streams_int_scan": 0.0,
             "f64ish_frames_per_second": 0.0}
 
 
@@ -272,6 +274,11 @@ def resolve_base(cfg, kind):
         return lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, cfg)
     if kind in ("pallas-radix2", "pallas-radix2-i16"):
         return lambda a: pallas_mfcc.mfcc_pallas_radix2(a, cfg)
+    if kind == "pallas-radix2-fast-i16":
+        # the opt-in 3-pass fast mode, now a per-call parameter
+        # (MFCC(precision="fast") routes here)
+        return lambda a: pallas_mfcc.mfcc_pallas_radix2(a, cfg,
+                                                        dft_passes=3)
     if kind in ("pallas-fmaj", "pallas-fmaj-i16"):
         return lambda a: pallas_mfcc.mfcc_pallas_fmaj(a, cfg)
     if kind == "pallas-recomp-bf16":
@@ -283,6 +290,11 @@ def resolve_base(cfg, kind):
         from mfcc_tpu.ops import int_ops
         return lambda a: int_ops.mfcc_int_batch(a, cfg)
     if kind == "f64ish":
+        from mfcc_tpu.ops import pallas_df32
+        if pallas_df32.pallas_f64ish_supported(cfg):
+            # the fused compensated kernel (round-4 VERDICT weak #3): same
+            # max(1e-5, 2 ulp) gate, ~8x the staged-XLA throughput
+            return lambda a: pallas_df32.mfcc_f64ish_pallas(a, cfg)
         return functools.partial(float_ops.mfcc_batch, cfg=cfg,
                                  precision="f64ish")
     if kind.endswith("-split"):
@@ -316,8 +328,14 @@ def time_fn(fn, x, iters, salt_dtype=None):
     return best
 
 
-def time_fused(cfg, kind, x, nframes, reps=4, iters=4):
-    """Time `reps` device-side pipeline runs fused into one dispatch."""
+def time_fused(cfg, kind, x, nframes, reps=4, iters=4,
+               return_rounds=False):
+    """Time `reps` device-side pipeline runs fused into one dispatch.
+
+    ``return_rounds``: also return the per-round frames/s list (3 rounds),
+    so callers can report min/median/max spread (round-4 VERDICT weak #6:
+    single-number records make rehearsal-vs-driver drift uninterpretable).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -331,14 +349,16 @@ def time_fused(cfg, kind, x, nframes, reps=4, iters=4):
 
     fn = jax.jit(repfn)
     red(fn(x, jnp.asarray(0, salt_dtype)).sum())
-    best = float("inf")
+    rounds = []
     for rep in range(3):        # best-of-3: tunnel jitter is 6-36 ms/dispatch
         t0 = time.perf_counter()
         acc = [fn(x, jnp.asarray(1 + 10 * rep + i, salt_dtype))
                for i in range(iters)]
         red(jnp.stack(acc).sum())
-        best = min(best, (time.perf_counter() - t0) / (iters * reps))
-    return nframes / best
+        rounds.append(nframes * iters * reps / (time.perf_counter() - t0))
+    if return_rounds:
+        return max(rounds), rounds
+    return max(rounds)
 
 
 def accuracy_of(cfg, kind):
@@ -429,15 +449,17 @@ def f64ish_gate_err(cfg):
     return worst
 
 
-def bench_f64ish(cfg, S=256, T=None, iters=3):
+def bench_f64ish(cfg, S=512, T=None, iters=3):
     """The compensated double-f32 accuracy mode's cost curve (round-3
     VERDICT weak #7): frames/s at the elementwise max(1e-5, 2 ulp) gate.
     Returns (fps, err-in-gate-units); (0, err) if the gate fails,
-    (0, inf) if the run fails."""
+    (0, inf) if the run fails.  S=512 x ~1 s: the fused kernel
+    (ops/pallas_df32) makes this a real throughput path, so the shape is
+    bench-scale rather than the old slow-mode miniature."""
     import jax
     import jax.numpy as jnp
     try:
-        T = T or cfg.nfft + 46 * cfg.hop   # ~0.5 s/stream: it is a slow mode
+        T = T or cfg.nfft + 93 * cfg.hop   # ~1 s/stream
         F = cfg.n_frames(T)
         err = f64ish_gate_err(cfg)
         print(f"# f64ish accuracy: {err:.3f} gate-units "
@@ -453,7 +475,8 @@ def bench_f64ish(cfg, S=256, T=None, iters=3):
         return 0.0, float("inf")
 
 
-def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
+def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3,
+                  fast_ok=True):
     """Serving-path capacity: dispatch-amortized streaming steps through
     StreamingMFCC (the fused stream kernel on TPU, transposed carry state,
     int16 wire chunks -- the production serving shape), S concurrent
@@ -468,27 +491,34 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
     import jax.numpy as jnp
     from mfcc_tpu import streaming
 
-    from mfcc_tpu.ops import pallas_mfcc
-
     out = {}
     audio = make_audio(S, C, seed=11)
-    # (key suffix, int_path, transposed_chunks, dft_passes): the *_cht
+    # (key suffix, int_path, transposed_chunks, precision): the *_cht
     # rows A/B the relayout-free positions-major chunk ingest (stderr
     # only; the JSON keys stay the shipped default until a TPU
     # measurement flips it); the _fast row records the opt-in 3-pass
-    # mode's serving capacity (arithmetic gated by the batch fast-mode
-    # gate above / test_interpret_float_radix2_fast_mode)
-    variants = (("float", False, False, 6), ("int", True, False, 6),
-                ("float_cht", False, True, 6), ("int_cht", True, True, 6),
-                ("float_fast", False, False, 3))
-    for name, int_path, chunks_t, passes in variants:
+    # mode's serving capacity -- ``fast_ok`` carries the batch fast-mode
+    # accuracy gate verdict (computed BEFORE serving runs, so a rejected
+    # gate zeroes this key instead of shipping an ungated capacity)
+    variants = (("float", False, False, "highest"),
+                ("int", True, False, "highest"),
+                ("float_cht", False, True, "highest"),
+                ("int_cht", True, True, "highest"),
+                ("float_fast", False, False, "fast"))
+    for name, int_path, chunks_t, prec in variants:
         key = f"serving_streams_{name}"
+        fast = prec == "fast"
+        if fast and not fast_ok:
+            print(f"# serving {name}: skipped (fast-mode accuracy gate "
+                  "rejected)", file=sys.stderr)
+            out[key] = 0.0
+            continue
         try:
-            pallas_mfcc.R2_DFT_PASSES = passes
             sm = streaming.StreamingMFCC(cfg, int_path=int_path,
+                                         precision=prec,
                                          transposed_state=True,
                                          transposed_chunks=chunks_t)
-            if (chunks_t or passes != 6) and sm._fused_jit is None:
+            if (chunks_t or fast) and sm._fused_jit is None:
                 out[key] = 0.0
                 continue                # fused-only variant; skip on CPU
             dt = jnp.int16 if sm._fused_jit is not None \
@@ -514,7 +544,7 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
             mk = lambda v: jnp.asarray(v, dt)
             a, st = fn(x, state0, mk(0))                  # warm / compile
             float(a) ; jax.block_until_ready(st)
-            best = float("inf")
+            rounds = []
             for rep in range(3):
                 t0 = time.perf_counter()
                 accs = []
@@ -524,17 +554,81 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3):
                     accs.append(a)
                 float(jnp.stack(accs).sum())              # force completion
                 int(jnp.asarray(st.count).max())
-                best = min(best, (time.perf_counter() - t0) / (iters * reps))
+                rounds.append((time.perf_counter() - t0) / (iters * reps))
+            best = min(rounds)
             streams = S * (C / cfg.samplerate) / best
             print(f"# serving {name} ({'fused kernel' if fused else 'XLA'}): "
                   f"{best*1e3:.2f} ms/step (S={S}, C={C}) -> "
                   f"{streams/1e3:.1f}k real-time streams", file=sys.stderr)
             out[key] = round(streams, 1)
+            if name in ("float", "int"):
+                # run-to-run spread of the headline serving keys (weak #6):
+                # [min, max] streams over the 3 timing rounds
+                ss = sorted(S * (C / cfg.samplerate) / t for t in rounds)
+                out[key + "_minmax"] = [round(ss[0], 1), round(ss[-1], 1)]
         except Exception as e:
             print(f"# serving {name} FAILED: {e!r}", file=sys.stderr)
             out[key] = 0.0
-        finally:
-            pallas_mfcc.R2_DFT_PASSES = 6
+    return out
+
+
+def bench_serving_scan(cfg, S=4096, C=1024, K=256):
+    """Un-tunneled serving ceiling (round-4 VERDICT weak #5): K sequential
+    serving steps chained through ONE lax.scan dispatch, so per-step time
+    is pure device work (the ~1-1.5 ms/step of tunnel dispatch+readback
+    amortized K-fold away).  This is the device's true capacity ceiling;
+    the serving_streams_* keys are what a host-driven per-step loop
+    (the lock-step protocol shape, software/main.c:128-165) achieves
+    through this tunnel.  Records serving_streams_{float,int}_scan."""
+    import jax
+    import jax.numpy as jnp
+    from mfcc_tpu import streaming
+
+    out = {}
+    audio = make_audio(S, C, seed=17)
+    for name, int_path in (("float", False), ("int", True)):
+        key = f"serving_streams_{name}_scan"
+        try:
+            sm = streaming.StreamingMFCC(cfg, int_path=int_path,
+                                         transposed_state=True)
+            if sm._fused_jit is None:
+                out[key] = 0.0
+                continue                # device-ceiling metric: TPU only
+            step = sm._fused_jit
+            dt = jnp.int16
+            x = jax.device_put(jnp.asarray(audio, dt))
+            reset0 = jnp.zeros((S,), bool)
+            state0 = sm.init(S)
+
+            def scanfn(chunks, state, salts):
+                def body(st, s):
+                    feats, _, st2 = step(chunks + s.astype(chunks.dtype),
+                                         st, reset0)
+                    return st2, feats[0, 0, 0].astype(jnp.float32)
+                st, accs = jax.lax.scan(body, state, salts)
+                return accs.sum(), st
+
+            fn = jax.jit(scanfn)
+            mk = lambda b: jnp.arange(b, b + K, dtype=jnp.int32)
+            a, st = fn(x, state0, mk(0))                  # warm / compile
+            float(a) ; jax.block_until_ready(st)
+            best = float("inf")
+            for rep in range(3):
+                t0 = time.perf_counter()
+                a, st = fn(x, state0, mk(1 + 1000 * rep))
+                float(a)
+                int(jnp.asarray(st.count).max())
+                best = min(best, (time.perf_counter() - t0) / K)
+            streams = S * (C / cfg.samplerate) / best
+            print(f"# serving {name} scan-ceiling: {best*1e3:.3f} ms/step "
+                  f"(K={K} steps/dispatch, S={S}, C={C}) -> "
+                  f"{streams/1e3:.1f}k real-time streams (device ceiling)",
+                  file=sys.stderr)
+            out[key] = round(streams, 1)
+        except Exception as e:
+            print(f"# serving {name} scan-ceiling FAILED: {e!r}",
+                  file=sys.stderr)
+            out[key] = 0.0
     return out
 
 
@@ -724,8 +818,21 @@ def main():
     f64_fps, f64_err = 0.0, float("inf")
     fast_fps, fast_err = 0.0, float("inf")
     if not args.quick:
-        serving = bench_serving(cfg)
+        # fast-mode accuracy gate FIRST, so the fast serving key below is
+        # measured only when the arithmetic passes (round-4 ADVICE: the
+        # serving capacity must not outlive a rejected gate)
+        try:
+            fast_err = accuracy_of(cfg, "pallas-radix2-fast-i16")
+        except Exception as e:
+            print(f"# fast-mode gate check FAILED: {e!r}", file=sys.stderr)
+        _save_partial(float_fast_gate_err=(round(fast_err, 6)
+                                           if np.isfinite(fast_err)
+                                           else None))
+        serving = bench_serving(cfg, fast_ok=fast_err <= FAST_GATE)
         _save_partial(**serving)
+        serving.update(bench_serving_scan(cfg))
+        _save_partial(**{k: serving[k] for k in serving
+                         if k.endswith("_scan")})
         int_fps, int_exact = bench_int(cfg, S, T, F, max(6, iters // 2))
         _save_partial(int_frames_per_second=round(int_fps, 1),
                       int_bit_exact=int_exact)
@@ -771,30 +878,36 @@ def main():
         # per-iter ordering is polluted by per-dispatch overhead, by the
         # salt-copy cost (dtype-dependent) and by tunnel jitter, so
         # fuse-time the top THREE candidates and keep the max
-        for _, kind in passing[:3]:
+        value_minmax = None
+        for n_kind, (_, kind) in enumerate(passing[:3]):
             try:
-                fused = time_fused(cfg, kind, timing_input(kind), S * F,
-                                   reps=8, iters=3)
+                fused, rounds = time_fused(cfg, kind, timing_input(kind),
+                                           S * F, reps=8, iters=3,
+                                           return_rounds=True)
                 print(f"# {kind} fused-dispatch: "
                       f"{fused/1e6:.3f} Mframes/s", file=sys.stderr)
+                if fused > fps or n_kind == 0:
+                    # run-to-run spread of the (current) winner (weak #6)
+                    value_minmax = [round(min(rounds), 1),
+                                    round(max(rounds), 1)]
                 fps = max(fused, fps)
             except Exception as e:
                 print(f"# fused refinement ({kind}) failed: {e!r}",
                       file=sys.stderr)
         _save_partial(value=round(fps, 1),
-                      vs_baseline=round(fps / BASELINE_FRAMES_PER_S, 2))
+                      vs_baseline=round(fps / BASELINE_FRAMES_PER_S, 2),
+                      **({"value_minmax": value_minmax}
+                         if value_minmax else {}))
         f64_fps, f64_err = bench_f64ish(cfg)
         _save_partial(f64ish_frames_per_second=round(f64_fps, 1),
                       f64ish_gate_err=f64_err)
-        # the OPT-IN 3-pass fast mode (R2_DFT_PASSES=3): recorded under its
-        # own 2e-3 gate so the speed/accuracy dial is a driver artifact,
-        # not a session claim (docs/BENCH.md round 4g)
-        from mfcc_tpu.ops import pallas_mfcc
+        # the OPT-IN 3-pass fast mode (MFCC(precision="fast")): recorded
+        # under its own 2e-3 gate so the speed/accuracy dial is a driver
+        # artifact, not a session claim (docs/BENCH.md round 4g); the gate
+        # itself ran before bench_serving above
         try:
-            pallas_mfcc.R2_DFT_PASSES = 3
-            fast_err = accuracy_of(cfg, "pallas-radix2-i16")
             if fast_err <= FAST_GATE:
-                fast_fps = time_fused(cfg, "pallas-radix2-i16",
+                fast_fps = time_fused(cfg, "pallas-radix2-fast-i16",
                                       timing_input("pallas-radix2-i16"),
                                       S * F, reps=8, iters=3)
             print(f"# float fast mode (3-pass): {fast_fps/1e6:.3f} "
@@ -803,8 +916,6 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# float fast mode FAILED: {e!r}", file=sys.stderr)
-        finally:
-            pallas_mfcc.R2_DFT_PASSES = 6
         _save_partial(float_fast_frames_per_second=round(fast_fps, 1),
                       float_fast_gate_err=(round(fast_err, 6)
                                            if np.isfinite(fast_err)

@@ -377,7 +377,8 @@ def cmd_serve(args) -> int:
                         int_path=not args.float,
                         device=_cli_device(args.backend),
                         transposed_chunks=args.transposed_chunks,
-                        pipeline_depth=args.pipeline_depth)
+                        pipeline_depth=args.pipeline_depth,
+                        status_port=args.status_port)
     path = "float" if args.float else "bit-exact INT"
     print(f"warming up ({path} path, {args.streams} slots, "
           f"chunk={args.chunk} samples = "
@@ -385,6 +386,9 @@ def cmd_serve(args) -> int:
     srv.start()
     host, port = srv.address
     print(f"serving on {host}:{port}", flush=True)
+    if srv.status_address is not None:
+        print(f"status plane on {srv.status_address[0]}:"
+              f"{srv.status_address[1]}", flush=True)
     t0 = _time.time()
     try:
         while args.duration is None or _time.time() - t0 < args.duration:
@@ -542,6 +546,11 @@ def main(argv=None) -> int:
                    help="gather chunks positions-major (relayout-free "
                         "device step)")
     p.add_argument("--pipeline-depth", type=int, default=2)
+    p.add_argument("--status-port", type=int, default=None,
+                   help="also serve the control/status line protocol "
+                        "(PING/STATS/SLOTS/CONFIG/LOGLEVEL) on this port "
+                        "(0 = ephemeral) -- the Wishbone-bridge register "
+                        "plane role")
     p.add_argument("--stats-every", type=float, default=10.0)
     p.add_argument("--duration", type=float, default=None,
                    help="exit after N seconds (default: run until SIGINT)")

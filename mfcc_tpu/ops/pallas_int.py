@@ -747,10 +747,16 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
 
 def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                        *, bf: int = BF, interpret: bool = False,
-                       stop_after: str | None = None) -> jnp.ndarray:
+                       stop_after: str | None = None,
+                       kernel_t: bool | None = None) -> jnp.ndarray:
     """Fused bit-exact INT pipeline, v3: v2's in-kernel pre-emphasis /
     framing / windowing plus whole-stream super-blocks (the float radix-2
-    kernel's blocking).  (S, T) int16-range -> (S, F, nceptrums) int32."""
+    kernel's blocking).  (S, T) int16-range -> (S, F, nceptrums) int32.
+
+    ``kernel_t``: per-call override of the INT_KERNEL_T module default
+    (in-VMEM vs host tile transpose; bit-identical either way)."""
+    if kernel_t is None:
+        kernel_t = INT_KERNEL_T
     assert cfg.nfft == 512 and cfg.nfilters in (16, 32), \
         "kernel assumes the reference config family"
     assert cfg.width == 16 and cfg.window_precision == 8 \
@@ -779,7 +785,7 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     need = Lp * bf * hop
     if need > T:
         raw = jnp.pad(raw, ((0, 0), (0, need - T)))
-    if INT_KERNEL_T:
+    if kernel_t:
         # free reshape; (bf, hop) tiles transpose in VMEM (flag note)
         T4 = raw[:, : need].reshape(S, Lp, bf, hop)
         tile = (bf, hop)
@@ -803,7 +809,7 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     out = pl.pallas_call(
         functools.partial(_int_kernel_v3, cfg=cfg, fb_shift=fb_shift,
                           bf=bf, nseg=nseg, nbk=nbk,
-                          kernel_t=INT_KERNEL_T, stop_after=stop_after),
+                          kernel_t=kernel_t, stop_after=stop_after),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, nbk) + tile,

@@ -937,11 +937,30 @@ R2_KERNEL_T = False
 # fixed-point error) mirroring f64ish on the other end.  Tested at a
 # 2e-3 gate; never the default.  The mel/DCT dots stay HIGHEST
 # (tiny K).
+#
+# All three R2_* module values are DEFAULTS, resolved once per call at
+# trace time; the supported surface is the per-call parameters
+# (mfcc_pallas_radix2(dft_passes=), MFCC(precision="fast"),
+# StreamingMFCC(precision="fast")) -- mutating the globals after a
+# function has been jit-traced has no effect on the traced function
+# (round-4 ADVICE) and is no longer done by bench/tools/tests.
 R2_DFT_PASSES = 6
 
 
+def _resolve_passes(dft_passes):
+    return R2_DFT_PASSES if dft_passes is None else int(dft_passes)
+
+
+def _resolve_kernel_t(kernel_t):
+    return R2_KERNEL_T if kernel_t is None else kernel_t
+
+
+def _resolve_pack256(pack256):
+    return R2_PACK256 if pack256 is None else bool(pack256)
+
+
 @functools.lru_cache(maxsize=None)
-def _radix2_operators(cfg: MFCCConfig):
+def _radix2_operators(cfg: MFCCConfig, pack256: bool = True):
     """Constants for the radix-2 split kernel.
 
     Returns (csp, we, wo, twc, tws, mela, melb, melc, dct_t); two layouts,
@@ -980,7 +999,7 @@ def _radix2_operators(cfg: MFCCConfig):
                                     cfg.nfilters)[:nh].T   # (32, 256)
     dct = tables.dct2_ortho_matrix(cfg.nfilters)[:, : cfg.nceptrums]
     dct_t = np.ascontiguousarray(dct.T.astype(np.float32))
-    if R2_PACK256:
+    if pack256:
         j = np.arange(128)[:, None]
         csp = np.zeros((256, nh), np.float32)
         csp[:128] = np.cos(2 * np.pi * j * m / nh) * scale
@@ -1017,7 +1036,8 @@ def _radix2_operators(cfg: MFCCConfig):
 def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
                         twc_ref, tws_ref, mela_ref, melb_ref, melc_ref,
                         dct_ref, out_ref, fbuf2, *, nfft, hop, ncep, bf,
-                        nseg, nbk, kernel_t=False, stop_after=None):
+                        nseg, nbk, kernel_t=False, stop_after=None,
+                        dft_passes=6):
     L = nbk * bf
     tiles = [xm_ref[0, i] for i in range(nbk)] + [xx_ref[0, 0]]
     if kernel_t == "t16":            # transpose packed, then upcast
@@ -1061,12 +1081,14 @@ def _mfcc_radix2_kernel(xm_ref, xx_ref, prev_ref, csp_ref, we_ref, wo_ref,
         return
     out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
                               tws_ref, mela_ref, melb_ref, melc_ref,
-                              dct_ref, L, stop_after=stop_after)
+                              dct_ref, L, stop_after=stop_after,
+                              dft_passes=dft_passes)
 
 
 def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
                  mela_ref, melb_ref, melc_ref, dct_ref, L,
-                 stop_after: str | None = None, mel_floor: float = 0.0):
+                 stop_after: str | None = None, mel_floor: float = 0.0,
+                 dft_passes: int = 6):
     """Shared radix-2 pipeline tail on a [evens | odds] frame scratch
     (nfft/2, 2L): window -> one split-DFT matmul -> twiddle recombination
     -> power -> permuted-mel -> log2 -> DCT.  Returns (ncep, L).
@@ -1080,7 +1102,7 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
     ncep = dct_ref.shape[0]
     fbuf2[:, :L] = fbuf2[:, :L] * we_ref[:]
     fbuf2[:, L:] = fbuf2[:, L:] * wo_ref[:]
-    if R2_DFT_PASSES < 6:
+    if dft_passes < 6:
         # manual reduced-pass form: two bf16 limbs per operand (see the
         # flag comment; gate-enforced accuracy)
         C = csp_ref[:]
@@ -1093,7 +1115,7 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
               + jnp.dot(c_hi, x_lo, preferred_element_type=jnp.float32)
               + jnp.dot(c_lo, x_hi,
                         preferred_element_type=jnp.float32))
-        if R2_DFT_PASSES >= 4:
+        if dft_passes >= 4:
             eo = eo + jnp.dot(c_lo, x_lo,
                               preferred_element_type=jnp.float32)
     else:
@@ -1151,7 +1173,7 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
 def _mfcc_frames_float_kernel(x_ref, csp_ref, we_ref, wo_ref, twc_ref,
                               tws_ref, mela_ref, melb_ref, melc_ref,
                               dct_ref, out_ref, fbuf2, *, nfft, bf,
-                              kernel_t=False):
+                              kernel_t=False, dft_passes=6):
     """(1, nfft, bf) pre-emphasized positions-major frames -- or
     (1, bf, nfft) frame-major when ``kernel_t`` (R2_KERNEL_T), transposed
     in VMEM -- -> (ncep, bf): the radix-2 pipeline tail without framing
@@ -1167,21 +1189,29 @@ def _mfcc_frames_float_kernel(x_ref, csp_ref, we_ref, wo_ref, twc_ref,
     fbuf2[:, bf:] = xs[:, 1]
     out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
                               tws_ref, mela_ref, melb_ref, melc_ref,
-                              dct_ref, bf)
+                              dct_ref, bf, dft_passes=dft_passes)
 
 
 def mfcc_pallas_frames_float(frames: jnp.ndarray,
                              cfg: MFCCConfig = MFCCConfig(), *,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             dft_passes: int | None = None,
+                             kernel_t: bool | None = None) -> jnp.ndarray:
     """Fused float pipeline on pre-emphasized FRAMES:
     (..., F, nfft) -> (..., F, nceptrums), f32-HIGHEST.
 
     The streaming/serving entry point: all leading axes flatten into the
     kernel's frame-lane axis so many streams' few-frame chunks fill
     128-lane blocks together (the XLA mfcc_frames chain measured ~25x
-    slower per frame than the fused batch kernel)."""
+    slower per frame than the fused batch kernel).
+
+    ``dft_passes``: MXU pass count for the split-DFT dot (None = the
+    module default, 6 = 5e-4 contract, 3 = the opt-in ~1e-3 fast mode --
+    see the R2_DFT_PASSES comment)."""
     assert cfg.windowlen == cfg.nfft, \
         "frames kernel expects full-length frames"
+    dft_passes = _resolve_passes(dft_passes)
+    kernel_t = _resolve_kernel_t(kernel_t)
     lead = frames.shape[:-2]
     F_in = frames.shape[-2]
     nfft, ncep = cfg.nfft, cfg.nceptrums
@@ -1191,15 +1221,17 @@ def mfcc_pallas_frames_float(frames: jnp.ndarray,
     Mp = nblocks * BF
     if Mp > M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    if R2_KERNEL_T:
+    if kernel_t:
         xT = x.reshape(nblocks, BF, nfft)       # free; transposed in VMEM
     else:
         xT = x.reshape(nblocks, BF, nfft).swapaxes(-1, -2)  # (nb, nfft, BF)
 
-    consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
+    consts = [jnp.asarray(a)
+              for a in _radix2_operators(cfg, _resolve_pack256(None))]
     out = pl.pallas_call(
         functools.partial(_mfcc_frames_float_kernel, nfft=nfft, bf=BF,
-                          kernel_t=bool(R2_KERNEL_T)),
+                          kernel_t=bool(kernel_t),
+                          dft_passes=dft_passes),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((1,) + xT.shape[1:], lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM)] +
@@ -1217,14 +1249,25 @@ def mfcc_pallas_frames_float(frames: jnp.ndarray,
 
 def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                        *, bf: int = BF, interpret: bool = False,
-                       stop_after: str | None = None) -> jnp.ndarray:
+                       stop_after: str | None = None,
+                       dft_passes: int | None = None,
+                       kernel_t: bool | str | None = None,
+                       pack256: bool | None = None) -> jnp.ndarray:
     """Fused radix-2 split-DFT kernel on RAW audio:
     (..., T) -> (..., F, nceptrums).  f32-HIGHEST throughout.
 
     int16 input is streamed to the kernel AS int16 (the 16-bit wire
     contract, software/main.c:134-151) and upcast in VMEM; other dtypes
-    are cast to f32 on the host."""
+    are cast to f32 on the host.
+
+    ``dft_passes`` / ``kernel_t`` / ``pack256``: per-call overrides of the
+    module-default perf dials (R2_DFT_PASSES / R2_KERNEL_T / R2_PACK256;
+    see the flag comments).  ``dft_passes=3`` is the supported fast mode
+    (~+26%, ~1e-3 worst-case error vs the 6-pass 5e-4 contract)."""
     assert cfg.hop % 2 == 0, "radix-2 split kernel needs an even hop"
+    dft_passes = _resolve_passes(dft_passes)
+    kernel_t = _resolve_kernel_t(kernel_t)
+    pack256 = _resolve_pack256(pack256)
     if audio.dtype != jnp.int16:
         audio = audio.astype(jnp.float32)
     lead = audio.shape[:-1]
@@ -1249,7 +1292,7 @@ def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     need = Lp * bf * hop
     if need > T:
         audio = jnp.pad(audio, ((0, 0), (0, need - T)))
-    if R2_KERNEL_T:
+    if kernel_t:
         # free reshape; each (bf, hop) tile transposes in VMEM (flag note)
         T4 = audio[:, : need].reshape(S, Lp, bf, hop)
     else:
@@ -1259,13 +1302,14 @@ def mfcc_pallas_radix2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     prevs = (audio[:, prev_idx].astype(jnp.float32)
              * (jnp.arange(nchunks) > 0)).reshape(N, 1, 1)
 
-    consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
+    consts = [jnp.asarray(a) for a in _radix2_operators(cfg, pack256)]
 
-    tile = (bf, hop) if R2_KERNEL_T else (hop, bf)
+    tile = (bf, hop) if kernel_t else (hop, bf)
     out = pl.pallas_call(
         functools.partial(_mfcc_radix2_kernel, nfft=nfft, hop=hop,
                           ncep=ncep, bf=bf, nseg=nseg, nbk=nbk,
-                          kernel_t=R2_KERNEL_T, stop_after=stop_after),
+                          kernel_t=kernel_t, stop_after=stop_after,
+                          dft_passes=dft_passes),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, nbk) + tile,

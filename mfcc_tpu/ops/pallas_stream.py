@@ -152,7 +152,7 @@ def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
                          mela_ref, melb_ref, melc_ref, dct_ref,
                          out_ref, nbuf_ref, abuf, fbuf2, *,
                          nfft, hop, P, C, Wp, F, nbits, bs,
-                         chunk_t=False, mel_floor=0.0):
+                         chunk_t=False, mel_floor=0.0, dft_passes=6):
     Ct = _rref(chk_ref)
     if Ct.dtype != jnp.float32:
         Ct = Ct.astype(jnp.float32)        # int16 wire input: upcast in VMEM
@@ -183,7 +183,8 @@ def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
         fbuf2[:, L + f * bs: L + (f + 1) * bs] = Eod[r0: r0 + nh, :]
     out_ref[0] = _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref,
                               tws_ref, mela_ref, melb_ref, melc_ref,
-                              dct_ref, L, mel_floor=mel_floor)
+                              dct_ref, L, mel_floor=mel_floor,
+                              dft_passes=dft_passes)
 
 
 def _stream_int_kernel(buf_ref, chk_ref, start_ref, prev_ref,
@@ -293,7 +294,8 @@ def stream_step_float(buffer, chunk, start, prev,
                       interpret: bool = False,
                       transposed_state: bool = False,
                       mel_floor: float = 0.0,
-                      chunk_layout: str | None = None):
+                      chunk_layout: str | None = None,
+                      dft_passes: int | None = None):
     """One fused streaming feature step (float, radix-2 split-DFT tail).
 
     buffer (S, P) f32 emphasized carry; chunk (S, C) raw samples (f32 or
@@ -308,7 +310,12 @@ def stream_step_float(buffer, chunk, start, prev,
     round-trips a transpose; with the "stream" chunk layout the raw chunk
     also ships stream-major and transposes in VMEM, and with "positions"
     (caller supplies (C, S)) the step has NO relayout at all, host, XLA
-    or VMEM.  new_buffer comes back (P, S) likewise."""
+    or VMEM.  new_buffer comes back (P, S) likewise.
+
+    ``dft_passes``: split-DFT MXU pass count (None = module default 6;
+    3 = the opt-in fast mode -- see pallas_mfcc.R2_DFT_PASSES)."""
+    from .pallas_mfcc import _resolve_passes, _resolve_pack256
+    dft_passes = _resolve_passes(dft_passes)
     layout = _resolve_chunk_layout(chunk_layout)
     if transposed_state:
         P0, S = buffer.shape
@@ -334,7 +341,8 @@ def stream_step_float(buffer, chunk, start, prev,
            else _pad_streams(chunk, Sp).T)
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.float32)[:, None], Sp).T
-    consts = [jnp.asarray(a) for a in _radix2_operators(cfg)]
+    consts = [jnp.asarray(a)
+              for a in _radix2_operators(cfg, _resolve_pack256(None))]
     L = F * bs
 
     chunk_t = layout == "stream"
@@ -344,7 +352,8 @@ def stream_step_float(buffer, chunk, start, prev,
     out, nbuf = pl.pallas_call(
         functools.partial(_stream_float_kernel, nfft=nfft, hop=hop, P=P,
                           C=C, Wp=Wp, F=F, nbits=nbits, bs=bs,
-                          chunk_t=chunk_t, mel_floor=mel_floor),
+                          chunk_t=chunk_t, mel_floor=mel_floor,
+                          dft_passes=dft_passes),
         grid=(nb,),
         in_specs=in_specs + [
             pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,

@@ -36,6 +36,21 @@ class MFCC:
     def __init__(self, cfg: MFCCConfig = MFCCConfig(), *,
                  method: str = "dft", precision: str = "highest",
                  dtype=jnp.float32, mel_floor: float = 0.0):
+        """``precision`` is the three-point accuracy/speed dial (plus the
+        raw matmul-precision names float_ops accepts):
+
+          * ``"highest"`` (default) -- the 5e-4 float contract; on TPU the
+            fused radix-2 kernel (6-pass split-DFT, ~50 Mf/s).
+          * ``"fast"`` -- the opt-in 3-pass split-DFT (~+26%, ~1e-3
+            worst-case vs the f64 oracle; still far tighter than the
+            reference RTL's fixed-point error).  Falls back to the
+            "highest" XLA chain where the fused kernel is unsupported
+            (non-TPU, exotic geometry) -- never LESS accurate than asked.
+          * ``"f64ish"`` -- compensated-f32 double-word arithmetic,
+            ~1e-5-class accuracy (ops/df32.py).
+
+        The dial mirrors the reference's injectable ``multiplier_cls``
+        configurability (mfcc/core/mfcc.py:62-82)."""
         self.cfg = cfg
         self.method = method
         self.precision = precision
@@ -48,20 +63,34 @@ class MFCC:
         # explicit method/precision/dtype/mel_floor choice is honored via
         # the XLA formulations, as are non-default frame geometries
         from .ops import pallas_mfcc
-        if (method == "dft" and precision == "highest"
-                and dtype == jnp.float32 and mel_floor == 0.0
-                and pallas_mfcc.pallas_float_supported(cfg)):
+        fused_ok = (method == "dft" and dtype == jnp.float32
+                    and mel_floor == 0.0
+                    and pallas_mfcc.pallas_float_supported(cfg))
+        fast = precision == "fast"
+        if fused_ok and (precision == "highest"
+                         or (fast and cfg.hop % 2 == 0)):
             kern = (pallas_mfcc.mfcc_pallas_radix2 if cfg.hop % 2 == 0
                     else pallas_mfcc.mfcc_pallas_recomp_t)
+            if cfg.hop % 2 == 0:
+                kern = functools.partial(kern,
+                                         dft_passes=3 if fast else None)
             float_batch = functools.partial(kern, cfg=cfg)
         else:
             float_batch = functools.partial(
                 float_ops.mfcc_batch, cfg=cfg, method=method,
-                precision=precision, dtype=dtype, mel_floor=mel_floor)
+                precision="highest" if fast else precision,
+                dtype=dtype, mel_floor=mel_floor)
         self._float_jit = jax.jit(float_batch)
-        self._float_frames_jit = jax.jit(functools.partial(
-            float_ops.mfcc_frames, cfg=cfg, method=method,
-            precision=precision, dtype=dtype, mel_floor=mel_floor))
+        if fast and fused_ok and cfg.windowlen == cfg.nfft:
+            frames_fn = functools.partial(
+                pallas_mfcc.mfcc_pallas_frames_float, cfg=cfg,
+                dft_passes=3)
+        else:
+            frames_fn = functools.partial(
+                float_ops.mfcc_frames, cfg=cfg, method=method,
+                precision="highest" if fast else precision,
+                dtype=dtype, mel_floor=mel_floor)
+        self._float_frames_jit = jax.jit(frames_fn)
         # the INT path is x64-free for the reference config family; exotic
         # filterbank layouts fall back to the int64 (x64) filterbank
         self._int_needs_x64 = not int_ops._fb_int32_layout_ok(cfg)

@@ -68,7 +68,8 @@ class FeatureServer:
                  int_path: bool = True, tick_s: float = 0.005,
                  device=None, mel_floor: float | None = None,
                  pipeline_depth: int = 2,
-                 transposed_chunks: bool = False):
+                 transposed_chunks: bool = False,
+                 status_port: int | None = None):
         """``device``: optional jax.Device pinning the batched step (e.g.
         the host CPU for small dev servers -- instant start; None = ambient
         backend, the TPU serving path).
@@ -93,7 +94,15 @@ class FeatureServer:
         positions-major buffer (plain column writes on the host) so the
         device step has no chunk relayout at all -- host, XLA or VMEM
         (pairs the fused kernel's "positions" ingest with the pipelined
-        stepper)."""
+        stepper).
+
+        ``status_port``: when not None, serve the control/status register
+        plane on a second TCP port (0 = ephemeral; address in
+        ``self.status_address``) -- the role of the reference's
+        FT601WishboneBridge (/root/reference/mfcc/io/ft601.py:214-330),
+        which maps register reads/writes onto the same USB3 link.  The
+        TPU-native registers are the observability counters the server
+        already keeps; see _handle_status_conn for the line protocol."""
         import jax
         import jax.numpy as jnp
         from .streaming import StreamingMFCC
@@ -139,6 +148,16 @@ class FeatureServer:
 
         self._tcp = Server((host, port), Handler)
         self.address = self._tcp.server_address
+
+        self._status_tcp = None
+        self.status_address = None
+        if status_port is not None:
+            class StatusHandler(socketserver.StreamRequestHandler):
+                def handle(self):
+                    srv._handle_status_conn(self)
+
+            self._status_tcp = Server((host, status_port), StatusHandler)
+            self.status_address = self._status_tcp.server_address
 
     # -- connection side ------------------------------------------------------
 
@@ -231,6 +250,70 @@ class FeatureServer:
                 sock.close()
             except OSError:
                 pass
+
+    # -- control/status plane -------------------------------------------------
+
+    def _handle_status_conn(self, handler):
+        """One status-plane connection: newline-delimited commands, one JSON
+        (or bare-word) reply line per command -- the register read/write
+        semantics of the reference's Wishbone bridge
+        (/root/reference/mfcc/io/ft601.py:214-330: a read command returns
+        the register value, a write sets it), with the registers being the
+        server's live observability state:
+
+          PING              -> PONG                     (link probe)
+          STATS             -> stepper occupancy counters (stats())
+          SLOTS             -> per-slot {active, rx_words, tx_frames,
+                               buffered, in_flight}     (the RX/TX LEDs)
+          CONFIG            -> frame geometry + serving parameters
+          LOGLEVEL [LEVEL]  -> read, or set (DEBUG|INFO|WARNING|ERROR),
+                               the server log level    (the control write)
+        """
+        import json
+        try:
+            for raw in handler.rfile:
+                parts = raw.decode("ascii", "replace").split()
+                cmd = parts[0].upper() if parts else ""
+                if cmd == "PING":
+                    reply = "PONG"
+                elif cmd == "STATS":
+                    reply = json.dumps(self.stats())
+                elif cmd == "SLOTS":
+                    reply = json.dumps([
+                        {"active": s.send is not None, "rx_words": s.rx_words,
+                         "tx_frames": s.tx_frames, "buffered": s.n_buffered,
+                         "in_flight": s.in_flight} for s in self._slots])
+                elif cmd == "CONFIG":
+                    c = self.cfg
+                    reply = json.dumps({
+                        "nfft": c.nfft, "hop": c.hop,
+                        "samplerate": c.samplerate, "nfilters": c.nfilters,
+                        "nceptrums": c.nceptrums, "chunk": self.chunk,
+                        "max_streams": self.max_streams,
+                        "int_path": self.int_path,
+                        "mel_floor": self.mel_floor})
+                elif cmd == "LOGLEVEL":
+                    if len(parts) > 1:
+                        lvl = logging.getLevelName(parts[1].upper())
+                        if isinstance(lvl, int):
+                            log.setLevel(lvl)
+                            reply = json.dumps(
+                                {"loglevel": logging.getLevelName(
+                                    log.getEffectiveLevel())})
+                        else:
+                            reply = f"ERR unknown level {parts[1]}"
+                    else:
+                        reply = json.dumps(
+                            {"loglevel": logging.getLevelName(
+                                log.getEffectiveLevel())})
+                elif cmd in ("QUIT", "EXIT", ""):
+                    break
+                else:
+                    reply = f"ERR unknown command {cmd}"
+                handler.wfile.write(reply.encode() + b"\n")
+                handler.wfile.flush()
+        except OSError:
+            pass
 
     # -- batched stepper ------------------------------------------------------
 
@@ -476,6 +559,9 @@ class FeatureServer:
             threading.Thread(target=self._run_stepper, daemon=True),
             threading.Thread(target=self._run_delivery, daemon=True),
         ]
+        if self._status_tcp is not None:
+            self._threads.append(threading.Thread(
+                target=self._status_tcp.serve_forever, daemon=True))
         for t in self._threads:
             t.start()
         return self
@@ -486,7 +572,11 @@ class FeatureServer:
         # sets -- calling it on a never-started server hangs forever
         if getattr(self, "_threads", None):
             self._tcp.shutdown()
+            if self._status_tcp is not None:
+                self._status_tcp.shutdown()
         self._tcp.server_close()
+        if self._status_tcp is not None:
+            self._status_tcp.server_close()
 
     def activity(self):
         """Per-slot (rx_words, tx_frames) -- the RX/TX LED equivalent."""
@@ -499,7 +589,28 @@ class FeatureServer:
         return dict(self._stats)
 
 
-# -- client helper -------------------------------------------------------------
+# -- client helpers ------------------------------------------------------------
+
+
+def query_status(host: str, port: int, *commands: str,
+                 timeout: float = 10.0):
+    """Issue commands on a FeatureServer's status plane; returns the list
+    of decoded replies (dict/list for JSON replies, str for bare words).
+    The client half of the Wishbone-bridge register access."""
+    import json
+    replies = []
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.settimeout(timeout)
+        f = sock.makefile("rwb")
+        for cmd in commands:
+            f.write(cmd.encode() + b"\n")
+            f.flush()
+            line = f.readline().decode().strip()
+            try:
+                replies.append(json.loads(line))
+            except json.JSONDecodeError:
+                replies.append(line)
+    return replies
 
 def stream_samples(host: str, port: int, samples: np.ndarray, ncep: int, *,
                    reset_first: bool = True, expect_frames: int | None = None,

@@ -204,9 +204,13 @@ class StreamingMFCC:
             # the INT path differs because ITS XLA chain round-trips the
             # 9-stage ladder through HBM).  mfcc_pallas_frames_float
             # remains available for explicit use.
+            # precision="fast" is a fused-kernel dial (3-pass split-DFT);
+            # the XLA fallback/flush path runs the "highest" chain so a
+            # fast-mode stream is never LESS accurate than asked
             features = functools.partial(
                 float_ops.mfcc_frames, cfg=cfg, method=method,
-                precision=precision, dtype=dtype, mel_floor=self.mel_floor)
+                precision="highest" if precision == "fast" else precision,
+                dtype=dtype, mel_floor=self.mel_floor)
 
         step_dtype = self.dtype
 
@@ -241,14 +245,17 @@ class StreamingMFCC:
         if ((device is None or device.platform == "tpu")
                 and pallas_stream.pallas_stream_supported(cfg)
                 and (int_path
-                     or (method == "dft" and precision == "highest"
+                     or (method == "dft"
+                         and precision in ("highest", "fast")
                          and dtype == jnp.float32))):
             from .ops import pallas_int as _pi
             if not int_path or _pi.pallas_int_supported(cfg):
                 kern = (pallas_stream.stream_step_int if int_path
                         else functools.partial(
                             pallas_stream.stream_step_float,
-                            mel_floor=self.mel_floor))
+                            mel_floor=self.mel_floor,
+                            dft_passes=(3 if precision == "fast"
+                                        else None)))
                 if transposed_chunks:
                     kern = functools.partial(kern,
                                              chunk_layout="positions")

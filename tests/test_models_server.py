@@ -137,6 +137,50 @@ def test_feature_server_roundtrip(audio_int16):
         srv.stop()
 
 
+def test_server_status_plane(audio_int16):
+    """The control/status register plane (FeatureServer(status_port=),
+    the FT601WishboneBridge role, /root/reference/mfcc/io/ft601.py:214-330):
+    PING/CONFIG/SLOTS/STATS/LOGLEVEL over the second port, with counters
+    reflecting real traffic."""
+    import logging as _logging
+    from mfcc_tpu.server import FeatureServer, stream_samples, query_status
+
+    sig = audio_int16[:1024]
+    want = int_ref.mfcc_int(sig.astype(np.int64), CFG)
+    srv = FeatureServer(CFG, max_streams=2, chunk=1024, device=_cpu(),
+                        status_port=0).start()
+    try:
+        host, port = srv.address
+        shost, sport = srv.status_address
+        pong, config, lvl = query_status(
+            shost, sport, "PING", "CONFIG", "LOGLEVEL")
+        assert pong == "PONG"
+        assert config["nfft"] == CFG.nfft and config["chunk"] == 1024
+        assert config["max_streams"] == 2 and config["int_path"] is True
+        assert lvl["loglevel"] in ("DEBUG", "INFO", "WARNING", "ERROR")
+
+        got = stream_samples(host, port, sig, CFG.nceptrums,
+                             expect_frames=want.shape[0], timeout=90)
+        assert got.shape[0] >= want.shape[0]
+        stats, slots = query_status(shost, sport, "STATS", "SLOTS")
+        assert stats["steps"] >= 1
+        assert stats["frames_tx"] >= want.shape[0]
+        assert sum(s["tx_frames"] for s in slots) >= want.shape[0]
+        assert sum(s["rx_words"] for s in slots) >= len(sig)
+
+        # control write: set, read back, restore (one connection each)
+        old = _logging.getLogger("mfcc_tpu.server").getEffectiveLevel()
+        try:
+            (set_r,) = query_status(shost, sport, "LOGLEVEL DEBUG")
+            assert set_r["loglevel"] == "DEBUG"
+            (err,) = query_status(shost, sport, "BOGUS")
+            assert err.startswith("ERR")
+        finally:
+            _logging.getLogger("mfcc_tpu.server").setLevel(old)
+    finally:
+        srv.stop()
+
+
 def test_server_trailing_reset_and_eof_flush(audio_int16):
     """Round-1 ADVICE (high): a reset word sent as its OWN 4-byte write --
     landing alone at a TCP recv boundary -- must still reset the stream.

@@ -91,11 +91,9 @@ def main():
     results = {True: [], False: []}
     for _ in range(2):
         for flag in (True, False):
-            pallas_mfcc.R2_KERNEL_T = flag
-            fps = time_fused(lambda a: pallas_mfcc.mfcc_pallas_radix2(a, cfg),
-                             xf, S * F)
+            fps = time_fused(lambda a, f=flag: pallas_mfcc.mfcc_pallas_radix2(
+                a, cfg, kernel_t=f), xf, S * F)
             results[flag].append(fps)
-    pallas_mfcc.R2_KERNEL_T = True
     rows.append(("R2_KERNEL_T (float/i16 batch)",
                  max(results[False]) / 1e6, max(results[True]) / 1e6))
 

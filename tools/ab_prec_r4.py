@@ -53,8 +53,8 @@ def main():
     res = {name: [] for name, _ in arms}
     errtab = {}
     for name, flag in arms:
-        pallas_mfcc.R2_DFT_PASSES = flag
-        fn = jax.jit(lambda a: pallas_mfcc.mfcc_pallas_radix2(a, cfg))
+        fn = jax.jit(lambda a, f=flag: pallas_mfcc.mfcc_pallas_radix2(
+            a, cfg, dft_passes=f))
         errs = {k: float(np.abs(wants[k] - np.asarray(fn(gates[k]))).max())
                 for k in wants}
         errtab[name] = errs
@@ -62,16 +62,14 @@ def main():
         print(f"# {name}: err speech {errs['speech']:.2e} "
               f"synth {errs['synth']:.2e} gate={'OK' if ok else 'FAIL'}",
               file=sys.stderr)
-    stable = {name: (flag,
-                     (lambda a, f=flag: pallas_mfcc.mfcc_pallas_radix2(a, cfg)))
+    stable = {name: (lambda a, f=flag:
+                     pallas_mfcc.mfcc_pallas_radix2(a, cfg, dft_passes=f))
               for name, flag in arms}
     for rnd in range(3):
-        for name, (flag, fn) in stable.items():
-            pallas_mfcc.R2_DFT_PASSES = flag
+        for name, fn in stable.items():
             fps = time_fused(fn, xf, S * F)
             res[name].append(fps)
             print(f"# {name} r{rnd}: {fps/1e6:.2f} Mf/s", file=sys.stderr)
-    pallas_mfcc.R2_DFT_PASSES = 6
 
     print("\n| arm | err speech | err synth | best Mf/s |")
     print("|---|---|---|---|")

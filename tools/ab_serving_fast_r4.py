@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Round-4h chip A/B: the split-DFT fast mode (R2_DFT_PASSES=3) on the
+"""Round-4h chip A/B: the split-DFT fast mode (precision="fast") on the
 SERVING float step.
 
 The serving stream kernel routes through the same `_radix2_core`, so
@@ -24,7 +24,6 @@ def main():
     import jax.numpy as jnp
     from mfcc_tpu.config import MFCCConfig
     from mfcc_tpu import streaming
-    from mfcc_tpu.ops import pallas_mfcc
 
     cfg = MFCCConfig()
     Ss, C, reps, iters = 4096, 1024, 16, 3
@@ -32,9 +31,9 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     rows = []
-    for name, passes in (("6-pass (shipped)", 6), ("3-pass fast", 3)):
-        pallas_mfcc.R2_DFT_PASSES = passes
-        sm = streaming.StreamingMFCC(cfg, int_path=False,
+    for name, prec in (("6-pass (shipped)", "highest"),
+                       ("3-pass fast", "fast")):
+        sm = streaming.StreamingMFCC(cfg, int_path=False, precision=prec,
                                      transposed_state=True)
         assert sm._fused_jit is not None, "no fused serving kernel"
         x = jax.device_put(jnp.asarray(audio, jnp.int16))
@@ -68,7 +67,6 @@ def main():
         rows.append((name, best * 1e3, streams / 1e3))
         print(f"# serving float/{name}: {best*1e3:.2f} ms/step -> "
               f"{streams/1e3:.1f}k streams", file=sys.stderr)
-    pallas_mfcc.R2_DFT_PASSES = 6
 
     print("\n| serving float arm | ms/step | k streams |")
     print("|---|---|---|")
