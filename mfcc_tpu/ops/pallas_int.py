@@ -110,17 +110,52 @@ def _sigma(r: int, L: int) -> int:
 
 def _ladder_strides(size: int, layout: str):
     L = int(np.log2(size))
+    if layout == "evenodd8":
+        # sigma strides for the pre-regroup stages; the three sub-vreg
+        # stages (sigma strides 4, 2, 1) run AFTER the mid-ladder regroup
+        # at vreg-aligned strides size/4, size/8, size/16 (_regroup_perm)
+        return ([1 << (L - 2 - s) for s in range(L - 4)]
+                + [size // 4, size // 8, size // 16, size // 2])
     if layout == "evenodd":
         return [1 << (L - 2 - s) if s < L - 1 else 1 << (L - 1)
                 for s in range(L)]
     return [1 << (L - 1 - s) for s in range(L)]
 
 
+def _ladder_layout(size: int) -> str:
+    """The shipped ladder row layout for a given FFT size: sigma (even/odd)
+    plus, for sizes with >= 6 within-half index bits, the mid-ladder
+    regroup that keeps every roll stride vreg-aligned (>= 8 sublanes).
+    Chip A/B (tools/ab_int_r5.py): the sigma layout's three sub-vreg-stride
+    stages cost ~2.4 ms/run at the bench shape -- most of the ladder's
+    wall time; the regroup recovers it for two reshape-transposes."""
+    return "evenodd8" if size >= 128 else "evenodd"
+
+
+def _regroup_perm(size: int) -> np.ndarray:
+    """Row permutation of the mid-ladder regroup: within each half, the
+    bottom 3 index bits swap with the top 3 (middle bits fixed), so the
+    natural-index bits that the last three general stages pair on (sigma
+    positions 2, 1, 0) move to vreg-aligned positions.  Matches the
+    in-kernel value op  v.reshape(2, 8, size//128, 8, L).swapaxes(1, 3).
+    Returns R with R[r] = new row of old row r."""
+    assert size >= 128
+    r = np.arange(size)
+    half = size // 2
+    b, w = r // half, r % half
+    x = w >> (int(np.log2(half)) - 3)          # top 3 within-half bits
+    y = (w >> 3) & (size // 128 - 1)           # middle bits (may be none)
+    z = w & 7                                  # bottom 3 bits
+    return b * half + z * (size // 16) + y * 8 + x
+
+
 @functools.lru_cache(maxsize=None)
 def _ladder_constants(size: int, width: int = 16, layout: str = "natural"):
     """Per-stage twiddle COLUMNS in natural-row space: (size, nstages) int32
     arrays (re, im): tw[r, s] = T[bitrev_s(r >> (L-s)) << (L-1-s)].
-    layout="evenodd": rows permuted by _sigma."""
+    layout="evenodd": rows permuted by _sigma; "evenodd8": additionally,
+    stage columns >= L-4 (the post-regroup stages) permuted by
+    _regroup_perm, matching the mid-ladder row move in _ladder."""
     L = int(np.log2(size))
     twr, twi = tables.twiddle_table(size, width)
     cr = np.zeros((size, L), dtype=np.int32)
@@ -132,12 +167,17 @@ def _ladder_constants(size: int, width: int = 16, layout: str = "natural"):
             idx = j << (L - 1 - s)
             cr[r, s] = twr[idx]
             ci[r, s] = twi[idx]
-    if layout == "evenodd":
+    if layout in ("evenodd", "evenodd8"):
         cr2, ci2 = np.zeros_like(cr), np.zeros_like(ci)
         for r in range(size):
             cr2[_sigma(r, L)] = cr[r]
             ci2[_sigma(r, L)] = ci[r]
         cr, ci = cr2, ci2
+    if layout == "evenodd8":
+        R = _regroup_perm(size)
+        for s in range(L - 4, L):
+            cr[R, s] = cr[:, s].copy()
+            ci[R, s] = ci[:, s].copy()
     return cr, ci
 
 
@@ -170,8 +210,12 @@ def _fb_limb_matrix(cfg: MFCCConfig):
     # (nbins, 2, lanes) value reshape: K is halved in every limb matmul
     # (the stage cost is streaming the (K, lanes) RHS through the MXU).
     perm = np.zeros((nbins, cfg.nfilters), dtype=np.int64)
+    R = (_regroup_perm(size) if _ladder_layout(size) == "evenodd8"
+         else np.arange(size))
     for r in range(0, size, 2):
-        perm[r // 2] = Wnp[_bitrev(r, L)]
+        # sigma row of even natural r is r//2; the evenodd8 regroup then
+        # moves it to R[r//2] (R preserves halves, so it stays a power row)
+        perm[R[r // 2]] = Wnp[_bitrev(r, L)]
     # Weights are non-negative integers, so base-2^b digits need no offset
     # trick.  Exactness: 7-bit limbs in int8 accumulate exactly in int32
     # (products < 127*127*nbins ~ 2^22); 8-bit limbs in bf16 are exact in
@@ -201,7 +245,8 @@ def _dct_packed_constants(nfilters: int):
     """Host-side twiddle operand for the in-kernel DCT ladder, in whichever
     layout DCT_SIGMA selects (must match the kernel trace)."""
     return _ladder_packed_constants(
-        4 * nfilters, layout="evenodd" if DCT_SIGMA else "natural")
+        4 * nfilters,
+        layout=_ladder_layout(4 * nfilters) if DCT_SIGMA else "natural")
 
 
 @functools.lru_cache(maxsize=None)
@@ -256,7 +301,24 @@ def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
     rows = jax.lax.broadcasted_iota(jnp.int32, (size, wr.shape[1]), 0)
     for s in range(L):
         d = strides[s]
-        if final_half_only and layout == "evenodd" and s == L - 1:
+        if layout == "evenodd8" and s == L - 4:
+            # mid-ladder regroup (_regroup_perm): a pure row permutation
+            # BETWEEN stages -- both arrays move once, the three remaining
+            # general stages then roll at vreg-aligned strides instead of
+            # 4/2/1 (chip A/B: the sub-vreg rolls cost ~2.4 ms/run; this
+            # value-op costs ~0.55 ms).  Bit-exactness untouched: butterfly
+            # partners are XOR pairs, preserved under any index-bit
+            # permutation, and the stage constants ship pre-permuted.
+            m = size // 128
+
+            def _rg(v):
+                g = v.reshape(2, 8, m, 8, v.shape[1])
+                return g.swapaxes(1, 3).reshape(size, v.shape[1])
+
+            wr = _rg(wr)
+            wi = _rg(wi)
+        if final_half_only and layout in ("evenodd", "evenodd8") \
+                and s == L - 1:
             # sigma layout: the last stage's stride IS size/2, so partners
             # are the two array halves, and only the even-output half (the
             # non-conjugate bins) is consumed downstream -- compute it with
@@ -357,7 +419,6 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     stage's leading rows to out_ref and return, so Mosaic DCEs the tail
     and timing deltas attribute per-stage cost (never set in production;
     see the stage-ablation notes in docs/BENCH.md)."""
-    ntap = cfg.nfilters
     nbins = cfg.nfft // 2
 
     # 2. power spectrum.  The 512-pt ladder runs in the sigma (even/odd)
@@ -370,6 +431,18 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
     if stop_after == "power":
         out_ref[0] = power[: cfg.nceptrums]
         return
+    _post_power_stages(power, fb_ref, dtw_ref, out_ref, dbuf_r, cfg=cfg,
+                       fb_shift=fb_shift, lanes=lanes,
+                       stop_after=stop_after)
+
+
+def _post_power_stages(power, fb_ref, dtw_ref, out_ref, dbuf_r,
+                       *, cfg: MFCCConfig, fb_shift: int, lanes: int,
+                       stop_after: str | None = None):
+    """Stages 3-5 (filterbank, log2, DCT) on a (nbins, lanes) int32 power
+    block -- split from _post_fft_stages so a two-kernel pipeline (ladder
+    front / epilogue back) shares the exact shipped arithmetic."""
+    ntap = cfg.nfilters
 
     # 3. integer filterbank: limb MXU matmuls (rows pre-permuted,
     # conjugate-zero columns dropped -- _fb_limb_matrix).  Radix follows
@@ -503,13 +576,17 @@ def _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
         odd_half = jnp.concatenate([logmel, rev], axis=0)     # (2*ntap, L)
         dbuf = jnp.concatenate([jnp.zeros_like(odd_half), odd_half], axis=0)
         cr, _ = _ladder(dbuf, jnp.zeros((n4, lanes), jnp.int32),
-                        dtw_ref, n4, layout="evenodd", final_half_only=True,
+                        dtw_ref, n4, layout=_ladder_layout(n4),
+                        final_half_only=True,
                         zero_imag_stages=_zero_imag_stage_count(n4))
         # cepstrum k = bin k = natural row bitrev(k, log2(n4)); sigma halves
-        # that even row's index: extraction row = bitrev(k, log2(n4)) >> 1
+        # that even row's index (bitrev(k) >> 1) and the evenodd8 regroup
+        # (when active) then moves it by R (half-preserving)
         L4 = int(np.log2(n4))
+        R4 = (_regroup_perm(n4) if _ladder_layout(n4) == "evenodd8"
+              else np.arange(n4))
         for k in range(cfg.nceptrums):
-            out_ref[0, k, :] = cr[_bitrev(k, L4) >> 1, :]
+            out_ref[0, k, :] = cr[R4[_bitrev(k, L4) >> 1], :]
     else:
         out_rows, fill_a, fill_b = _dct_constants(ntap)
         dbuf_r[:] = jnp.zeros_like(dbuf_r)
@@ -529,7 +606,7 @@ def _int_kernel(win_ref, tw_ref, fb_ref, dtw_ref,
     # zero-twiddle-imag stages skip the imaginary datapath entirely).
     # sigma row layout: the HOST feeds positions in [evens | odds] order.
     wr, wi = _ladder(win_ref[0], jnp.zeros_like(win_ref[0]),
-                     tw_ref, cfg.nfft, layout="evenodd",
+                     tw_ref, cfg.nfft, layout=_ladder_layout(cfg.nfft),
                      final_half_only=True,
                      zero_imag_stages=_zero_imag_stage_count(cfg.nfft))
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
@@ -578,7 +655,8 @@ def _int_kernel_v2(xa_ref, xb_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     # (wincol comes sigma-permuted from the host)
     xw = framing.wrap_signed((x * wincol_ref[:]) >> (cfg.window_precision + 1),
                              cfg.width)
-    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
+    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft,
+                     layout=_ladder_layout(nfft),
                      final_half_only=True,
                      zero_imag_stages=_zero_imag_stage_count(nfft))
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
@@ -629,7 +707,7 @@ def mfcc_int_pallas_v2(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     prevs = (raw[:, prev_idx].astype(jnp.int32)
              * (jnp.arange(nblocks) > 0)).reshape(N, 1, 1)
 
-    tw = _ladder_packed_constants(nfft, layout="evenodd")
+    tw = _ladder_packed_constants(nfft, layout=_ladder_layout(nfft))
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
     dtw = _dct_packed_constants(cfg.nfilters)
     wc = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
@@ -734,7 +812,8 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     if stop_after == "window":    # profiling cut: + window multiply
         out_ref[0] = xw[:ncep, :L]
         return
-    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
+    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft,
+                     layout=_ladder_layout(nfft),
                      final_half_only=True,
                      zero_imag_stages=_zero_imag_stage_count(nfft))
     if stop_after == "fft":       # profiling cut: + the 9-stage ladder
@@ -797,7 +876,7 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     prevs = (raw[:, prev_idx].astype(jnp.int32)
              * (jnp.arange(nchunks) > 0)).reshape(N, 1, 1)
 
-    tw = _ladder_packed_constants(nfft, layout="evenodd")
+    tw = _ladder_packed_constants(nfft, layout=_ladder_layout(nfft))
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
     dtw = _dct_packed_constants(cfg.nfilters)
     wc = np.asarray(tables.int_window_curve(nfft, cfg.window_precision),
@@ -891,7 +970,7 @@ def mfcc_int_pallas_frames(frames: jnp.ndarray,
     win = jnp.concatenate([win[:, 0::2], win[:, 1::2]], axis=1)
     winT = win.reshape(nblocks, BF, nfft).swapaxes(-1, -2)  # (nb, nfft, BF)
 
-    tw = _ladder_packed_constants(nfft, layout="evenodd")
+    tw = _ladder_packed_constants(nfft, layout=_ladder_layout(nfft))
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
     dtw = _dct_packed_constants(cfg.nfilters)
     n4 = 4 * cfg.nfilters
@@ -959,7 +1038,7 @@ def mfcc_int_pallas(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig()
     # (S, nblocks, BF, nfft) -> (N, nfft, BF): positions-major blocks
     winT = win.reshape(S * nblocks, BF, nfft).swapaxes(-1, -2)
 
-    tw = _ladder_packed_constants(nfft, layout="evenodd")
+    tw = _ladder_packed_constants(nfft, layout=_ladder_layout(nfft))
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
     dtw = _dct_packed_constants(cfg.nfilters)
     N = S * nblocks

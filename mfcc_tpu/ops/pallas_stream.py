@@ -51,9 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import MFCCConfig
 from . import framing
 from .pallas_mfcc import _radix2_operators, _radix2_core
-from .pallas_int import (_ladder, _post_fft_stages, _ladder_packed_constants,
-                         _dct_packed_constants, _fb_limb_matrix,
-                         _zero_imag_stage_count)
+from .pallas_int import (_ladder, _ladder_layout, _post_fft_stages,
+                         _ladder_packed_constants, _dct_packed_constants,
+                         _fb_limb_matrix, _zero_imag_stage_count)
 from . import int_ops
 
 BS = 128  # streams per block (lane count)
@@ -221,7 +221,8 @@ def _stream_int_kernel(buf_ref, chk_ref, start_ref, prev_ref,
         fbuf[half:, f * bs:(f + 1) * bs] = Eod[r0: r0 + half, :]
     xw = framing.wrap_signed(
         (fbuf[:] * wincol_ref[:]) >> (cfg.window_precision + 1), cfg.width)
-    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft, layout="evenodd",
+    wr, wi = _ladder(xw, jnp.zeros_like(xw), tw_ref, nfft,
+                     layout=_ladder_layout(nfft),
                      final_half_only=True,
                      zero_imag_stages=_zero_imag_stage_count(nfft))
     _post_fft_stages(wr, wi, fb_ref, dtw_ref, out_ref, dbuf_r,
@@ -419,7 +420,7 @@ def stream_step_int(buffer, chunk, start, prev,
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.int32)[:, None], Sp).T
 
-    tw = _ladder_packed_constants(nfft, layout="evenodd")
+    tw = _ladder_packed_constants(nfft, layout=_ladder_layout(nfft))
     fb_limbs, fb_shift = _fb_limb_matrix(cfg)
     dtw = _dct_packed_constants(cfg.nfilters)
     from .. import tables
