@@ -78,6 +78,25 @@ FB_LIMB_F32 = False
 # runtime, so the flag reverts; both paths stay bit-exact-tested.
 INT_KERNEL_T = False
 
+# Pack adjacent sample pairs into int32 (bitcast) BEFORE the host-side
+# positions-major transpose: the relayout becomes a half-height 32-bit
+# transpose (XLA's 16-bit transposes are the measured pathology, round 3h)
+# and the kernel's unpack shifts deliver the even/odd position split that
+# the sigma fill wants for free.  Bit-identical either way.  Measured a
+# LOSS on chip (31.2 vs 38.3 Mf/s, round 5c): the unpack shifts + split
+# pre-emphasis cost more than the i16 transpose saves.  Default off.
+INT_PACK32 = False
+
+# Slice-form butterflies: stages whose stride is >= this many sublanes
+# compute each butterfly pair ONCE from aligned half-slices (sub operands
+# only at the x1 rows -- half the multiplies, no rolls, no selects; output
+# reassembled by a sublane concat) instead of the roll+select distribution
+# that evaluates subs at every row.  Bit-identical: the slice form IS the
+# roll form's selected lanes, computed directly.  None = rolls everywhere.
+# Chip A/B (round 5c, interleaved, max-of-3): 16 -> 38.1-38.4 Mf/s vs
+# None 36.6-37.7; 8/32/64 within noise of 16.  Small, consistent win.
+SLICE_MIN_STRIDE: int | None = 16
+
 # DCT ladder layout: True = sigma (even/odd) rows.  The 4N interleave fill
 # (dct_stream.py:29-34) writes only ODD natural rows -- in sigma layout the
 # buffer is [zeros | odd-half] (two concats, no 2*ntap single-row stores),
@@ -343,6 +362,51 @@ def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
         unit_pair = bool(np.logical_or(
             (np_cr[:, s] == unit) & (np_ci[:, s] == 0),
             (np_cr[:, s] == 0) & (np_ci[:, s] == -unit)).all())
+        if SLICE_MIN_STRIDE and d >= SLICE_MIN_STRIDE and s != L - 1:
+            # slice form (see the SLICE_MIN_STRIDE comment): pairs are
+            # aligned (d, lanes) blocks; subs from the x1 block only
+            w2 = width - 2
+            pr, pim = [], []
+            for b in range(size // (2 * d)):
+                o = 2 * d * b
+                x0r, x1r = wr[o: o + d], wr[o + d: o + 2 * d]
+                tw1 = tw_ref[o + d: o + 2 * d, s: s + 1]
+                if s < zero_imag_stages:
+                    sb1 = x1r if all_unit_re \
+                        else (x1r * tw1 + bias) >> w2
+                    pr += [_wrap16((x0r + sb1) >> 1),
+                           _wrap16((x0r - sb1) >> 1)]
+                    continue
+                if s == zero_imag_stages and zero_imag_stages > 0:
+                    # wi == 0 entering: imag side comes only from sb2
+                    if unit_pair:
+                        re_row = tw1 != 0
+                        sb1 = jnp.where(re_row, x1r, 0)
+                        sb2 = jnp.where(re_row, 0, -x1r)
+                    else:
+                        m0 = x1r * tw1 + bias
+                        sb1 = m0 >> w2
+                        sb2 = (m0 - x1r *
+                               tw_ref[o + d: o + 2 * d,
+                                      2 * L + s: 2 * L + s + 1]) >> w2
+                    pr += [_wrap16((x0r + sb1) >> 1),
+                           _wrap16((x0r - sb1) >> 1)]
+                    pim += [_wrap16(sb2 >> 1), _wrap16((-sb2) >> 1)]
+                    continue
+                x0i, x1i = wi[o: o + d], wi[o + d: o + 2 * d]
+                tc1 = tw_ref[o + d: o + 2 * d, L + s: L + s + 1]
+                tc2 = tw_ref[o + d: o + 2 * d, 2 * L + s: 2 * L + s + 1]
+                u = (x1r + x1i) * tw1 + bias
+                sb1 = (u - x1i * tc1) >> w2
+                sb2 = (u - x1r * tc2) >> w2
+                pr += [_wrap16((x0r + sb1) >> 1),
+                       _wrap16((x0r - sb1) >> 1)]
+                pim += [_wrap16((x0i + sb2) >> 1),
+                        _wrap16((x0i - sb2) >> 1)]
+            wr = jnp.concatenate(pr, axis=0)
+            if pim:
+                wi = jnp.concatenate(pim, axis=0)
+            continue
         if s < zero_imag_stages:
             # wi == 0 and tw imag == 0: m1 = 0, m0 - m2 = x1r*twi = 0 ->
             # sub2 = bias >> (width-2) = 0, yi = (0 +- 0) >> 1 = 0
@@ -758,7 +822,8 @@ NBMAX_INT = 4  # lane-tiles per whole-stream super-block (VMEM cap)
 def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
                    dtw_ref, out_ref, fbuf, dbuf_r, *,
                    cfg: MFCCConfig, fb_shift: int, bf: int, nseg: int,
-                   nbk: int, kernel_t=False, stop_after=None):
+                   nbk: int, kernel_t=False, pack32=False,
+                   stop_after=None):
     """Whole-stream variant of _int_kernel_v2: one super-block reads nbk+1
     contiguous lane-tiles (no tile double-read), rebuilds nbk blocks of
     frames into one (nfft, nbk*bf) matrix, and runs the ladder and the
@@ -768,30 +833,59 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
     is per-lane)."""
     nfft, hop = cfg.nfft, cfg.hop
     L = nbk * bf
-    tiles = [xm_ref[0, i] for i in range(nbk)] + [xx_ref[0, 0]]
-    if kernel_t:                     # (bf, hop) tiles: HW transpose
-        tiles = [t.T for t in tiles]
-    C = jnp.concatenate(tiles, axis=1).astype(jnp.int32)  # (hop, (nbk+1)*bf)
     ncep = cfg.nceptrums
-    if stop_after == "raw":       # profiling cut: DMA + concat + upcast
-        out_ref[0] = C[:ncep, :L]
-        return
-    rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
-    lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
-    up = pltpu.roll(C, 1, 0)                        # row t <- row t-1
-    wrapped = pltpu.roll(C[hop - 1: hop, :], 1, 1)  # lane l <- lane l-1
-    prev_row0 = jnp.where(lanecol == 0, prev_ref[0, 0, 0], wrapped)
-    prev = jnp.where(rows == 0, prev_row0, up)
-    # y = wrap16(x + (prev >> 5) - prev)  (preemph.py:23)
-    E = framing.wrap_signed(C + (prev >> 5) - prev, cfg.width)
-    if stop_after == "emph":      # profiling cut: + pre-emphasis
-        out_ref[0] = E[:ncep, :L]
-        return
-    # sigma-layout rebuild: even positions -> rows [0, nfft/2), odd ->
-    # [nfft/2, nfft) (one cheap (hop/2, 2, lanes) value reshape; hop even)
     half = nfft // 2
-    Es = E.reshape(hop // 2, 2, C.shape[1])
-    Eev, Eod = Es[:, 0], Es[:, 1]
+    tiles = [xm_ref[0, i] for i in range(nbk)] + [xx_ref[0, 0]]
+    if pack32:
+        # tiles are (hop/2, bf) int32 holding ADJACENT SAMPLE PAIRS packed
+        # by the host (even position in the low half-word): the host-side
+        # relayout is then a 32-bit transpose of half-height -- the
+        # pathological XLA i16 transpose leaves the pipeline entirely --
+        # and the even/odd split the sigma fill wants falls out of the
+        # unpack shifts for free
+        Cp = jnp.concatenate(tiles, axis=1)          # (hop/2, Lt) packed
+        Ce = (Cp << 16) >> 16                        # even positions
+        Co = Cp >> 16                                # odd positions
+        if stop_after == "raw":   # profiling cut: DMA + concat + unpack
+            out_ref[0] = Ce[:ncep, :L] + Co[:ncep, :L]
+            return
+        h2 = hop // 2
+        rows = jax.lax.broadcasted_iota(jnp.int32, Ce.shape, 0)
+        lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, Ce.shape[1]), 1)
+        # odd position 2k+1's predecessor is even 2k: same row, same lane
+        Eod = framing.wrap_signed(Co + (Ce >> 5) - Ce, cfg.width)
+        # even position 2k's predecessor is odd 2k-1: row k-1 (lane l-1's
+        # last row for k == 0; the block's SMEM prev scalar at lane 0)
+        up = pltpu.roll(Co, 1, 0)
+        wrapped = pltpu.roll(Co[h2 - 1: h2, :], 1, 1)
+        prev_row0 = jnp.where(lanecol == 0, prev_ref[0, 0, 0], wrapped)
+        pe = jnp.where(rows == 0, prev_row0, up)
+        Eev = framing.wrap_signed(Ce + (pe >> 5) - pe, cfg.width)
+        if stop_after == "emph":  # profiling cut: + pre-emphasis
+            out_ref[0] = Eev[:ncep, :L] + Eod[:ncep, :L]
+            return
+    else:
+        if kernel_t:                 # (bf, hop) tiles: HW transpose
+            tiles = [t.T for t in tiles]
+        C = jnp.concatenate(tiles, axis=1).astype(jnp.int32)  # (hop, Lt)
+        if stop_after == "raw":   # profiling cut: DMA + concat + upcast
+            out_ref[0] = C[:ncep, :L]
+            return
+        rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
+        lanecol = jax.lax.broadcasted_iota(jnp.int32, (1, C.shape[1]), 1)
+        up = pltpu.roll(C, 1, 0)                        # row t <- row t-1
+        wrapped = pltpu.roll(C[hop - 1: hop, :], 1, 1)  # lane l <- lane l-1
+        prev_row0 = jnp.where(lanecol == 0, prev_ref[0, 0, 0], wrapped)
+        prev = jnp.where(rows == 0, prev_row0, up)
+        # y = wrap16(x + (prev >> 5) - prev)  (preemph.py:23)
+        E = framing.wrap_signed(C + (prev >> 5) - prev, cfg.width)
+        if stop_after == "emph":  # profiling cut: + pre-emphasis
+            out_ref[0] = E[:ncep, :L]
+            return
+        # sigma-layout rebuild: even positions -> rows [0, nfft/2), odd ->
+        # [nfft/2, nfft) (one cheap (hop/2, 2, lanes) reshape; hop even)
+        Es = E.reshape(hop // 2, 2, C.shape[1])
+        Eev, Eod = Es[:, 0], Es[:, 1]
     for b in range(nbk):
         for q in range(nseg):
             p0 = q * hop
@@ -827,15 +921,22 @@ def _int_kernel_v3(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, fb_ref,
 def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
                        *, bf: int = BF, interpret: bool = False,
                        stop_after: str | None = None,
-                       kernel_t: bool | None = None) -> jnp.ndarray:
+                       kernel_t: bool | None = None,
+                       pack32: bool | None = None) -> jnp.ndarray:
     """Fused bit-exact INT pipeline, v3: v2's in-kernel pre-emphasis /
     framing / windowing plus whole-stream super-blocks (the float radix-2
     kernel's blocking).  (S, T) int16-range -> (S, F, nceptrums) int32.
 
     ``kernel_t``: per-call override of the INT_KERNEL_T module default
-    (in-VMEM vs host tile transpose; bit-identical either way)."""
+    (in-VMEM vs host tile transpose; bit-identical either way).
+    ``pack32``: per-call override of INT_PACK32 (adjacent-sample int32
+    packing before the host transpose; bit-identical either way)."""
     if kernel_t is None:
         kernel_t = INT_KERNEL_T
+    if pack32 is None:
+        pack32 = INT_PACK32
+    if pack32:
+        kernel_t = False             # mutually exclusive input layouts
     assert cfg.nfft == 512 and cfg.nfilters in (16, 32), \
         "kernel assumes the reference config family"
     assert cfg.width == 16 and cfg.window_precision == 8 \
@@ -864,7 +965,15 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     need = Lp * bf * hop
     if need > T:
         raw = jnp.pad(raw, ((0, 0), (0, need - T)))
-    if kernel_t:
+    if pack32:
+        # adjacent sample pairs packed into int32 (bitcast: even position
+        # in the low half-word), THEN transposed: the host relayout is a
+        # half-height 32-bit transpose instead of the i16 one (flag note)
+        T4 = jax.lax.bitcast_convert_type(
+            raw[:, : need].reshape(S, Lp, bf, hop // 2, 2),
+            jnp.int32).swapaxes(-1, -2)
+        tile = (hop // 2, bf)
+    elif kernel_t:
         # free reshape; (bf, hop) tiles transpose in VMEM (flag note)
         T4 = raw[:, : need].reshape(S, Lp, bf, hop)
         tile = (bf, hop)
@@ -888,7 +997,8 @@ def mfcc_int_pallas_v3(audio: jnp.ndarray, cfg: MFCCConfig = MFCCConfig(),
     out = pl.pallas_call(
         functools.partial(_int_kernel_v3, cfg=cfg, fb_shift=fb_shift,
                           bf=bf, nseg=nseg, nbk=nbk,
-                          kernel_t=kernel_t, stop_after=stop_after),
+                          kernel_t=kernel_t, pack32=pack32,
+                          stop_after=stop_after),
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, nbk) + tile,

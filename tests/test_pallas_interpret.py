@@ -114,6 +114,33 @@ def test_interpret_int_v3_alt_limb_radix(cpu, sig2):
         pallas_int._fb_limb_matrix.cache_clear()
 
 
+@pytest.mark.parametrize("thr", [None, 8])
+def test_interpret_int_v3_slice_thresholds(cpu, sig2, thr):
+    """Non-default slice-form thresholds stay bit-exact: None = the pure
+    roll+select ladder, 8 = slice-form down to the sub-vreg boundary (the
+    shipped default is 16; chip A/B round 5c measured all within ~2%)."""
+    saved = pallas_int.SLICE_MIN_STRIDE
+    try:
+        pallas_int.SLICE_MIN_STRIDE = thr
+        with jax.default_device(cpu):
+            got = np.asarray(pallas_int.mfcc_int_pallas_v3(
+                sig2.astype(np.int32), CFG, interpret=True))
+        assert np.array_equal(got, _int_want(sig2))
+    finally:
+        pallas_int.SLICE_MIN_STRIDE = saved
+
+
+def test_interpret_int_v3_pack32(cpu, sig2):
+    """The packed-int32 ingest (host transposes sample PAIRS; the kernel
+    unpacks with shifts and runs a split even/odd pre-emphasis) is
+    bit-identical to the default i16 ingest.  Default off: measured a
+    chip loss (docs/BENCH.md round 5c)."""
+    with jax.default_device(cpu):
+        got = np.asarray(pallas_int.mfcc_int_pallas_v3(
+            sig2.astype(np.int32), CFG, interpret=True, pack32=True))
+    assert np.array_equal(got, _int_want(sig2))
+
+
 def test_interpret_int_frames(cpu, sig2):
     from mfcc_tpu.ops import framing
     emph = framing.preemphasis_int(sig2.astype(np.int32))
