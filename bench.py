@@ -544,6 +544,14 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3,
             mk = lambda v: jnp.asarray(v, dt)
             a, st = fn(x, state0, mk(0))                  # warm / compile
             float(a) ; jax.block_until_ready(st)
+            # one untimed pipeline-warm round: the very first post-compile
+            # dispatch chain through the tunnel is ~20x slower than steady
+            # state and was polluting the _minmax variance bound (measured
+            # min 7.0k vs max 184k streams in the round-5 rehearsals)
+            st = state0
+            for i in range(iters):
+                a, st = fn(x, st, mk(101 + i))
+            float(a) ; jax.block_until_ready(st)
             rounds = []
             for rep in range(3):
                 t0 = time.perf_counter()
