@@ -544,14 +544,19 @@ def bench_serving(cfg, S=4096, C=1024, reps=16, iters=3,
             mk = lambda v: jnp.asarray(v, dt)
             a, st = fn(x, state0, mk(0))                  # warm / compile
             float(a) ; jax.block_until_ready(st)
-            # one untimed pipeline-warm round: the very first post-compile
-            # dispatch chain through the tunnel is ~20x slower than steady
-            # state and was polluting the _minmax variance bound (measured
-            # min 7.0k vs max 184k streams in the round-5 rehearsals)
-            st = state0
+            # one untimed pipeline-warm round, using the IDENTICAL readback
+            # expressions as the timed rounds: the first execution of the
+            # tiny stack/sum and count-max readback ops pays a ~1.7 s
+            # remote compile through the tunnel, which was polluting the
+            # _minmax variance bound (measured min 7.0k vs max 184k
+            # streams in the round-5 rehearsals; instrumented in
+            # docs/BENCH.md round 5f)
+            st, accs = state0, []
             for i in range(iters):
                 a, st = fn(x, st, mk(101 + i))
-            float(a) ; jax.block_until_ready(st)
+                accs.append(a)
+            float(jnp.stack(accs).sum())
+            int(jnp.asarray(st.count).max())
             rounds = []
             for rep in range(3):
                 t0 = time.perf_counter()
