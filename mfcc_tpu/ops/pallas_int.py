@@ -97,6 +97,23 @@ INT_PACK32 = False
 # None 36.6-37.7; 8/32/64 within noise of 16.  Small, consistent win.
 SLICE_MIN_STRIDE: int | None = 16
 
+# Block-form ladder (round 5g): for the evenodd8 layout every stage's
+# stride is a multiple of 8, so the whole ladder can run on a LIST of
+# (8, lanes) sublane blocks -- butterflies become pure elementwise ops on
+# aligned block pairs, with NO rolls, NO selects and NO per-stage
+# concatenations (the slice form re-materializes the full array after
+# every stage; the roll form pays 2-4 rolls + selects per stage).  The
+# only materializations left are the mid-ladder regroup (group-local 8x8
+# sublane transposes) and the final output concat.  Per-block trace-time
+# twiddle classification (the numpy constants are known) additionally
+# skips every multiply on unit / -j twiddle blocks -- exact, since
+# (x*unit + bias) >> (width-2) == x and (bias - x*unit) >> (width-2) ==
+# -x for wrap16-bounded x -- and exact-zero imaginary blocks propagate as
+# None instead of arrays (subsumes the zero_imag_stages shortcut
+# per-block).  Bit-identical to the roll/slice forms by construction:
+# identical integer arithmetic, different data placement.
+LADDER_BLOCKS = True
+
 # DCT ladder layout: True = sigma (even/odd) rows.  The 4N interleave fill
 # (dct_stream.py:29-34) writes only ODD natural rows -- in sigma layout the
 # buffer is [zeros | odd-half] (two concats, no 2*ntap single-row stores),
@@ -291,6 +308,119 @@ def _wrap16(v):
     return (v << 16) >> 16
 
 
+def _ladder_blocks(wr, wi, tw_ref, size: int, width: int,
+                   zero_imag_stages: int, final_half_only: bool):
+    """Block-form bit-exact DIT ladder for the evenodd8 layout (see the
+    LADDER_BLOCKS comment): the arrays live as size//8 (8, lanes) sublane
+    blocks through every stage; stage strides are all multiples of 8, so
+    butterfly partners are whole blocks and each butterfly is elementwise
+    on aligned operands.  Imag blocks that are exactly zero ride as None.
+    Returns the same (wr, wi) -- or (half, lanes) under final_half_only --
+    as the roll/slice form, bit-identically."""
+    L = int(np.log2(size))
+    lanes = wr.shape[1]
+    bias = (1 << (width - 3)) - 1
+    unit = 1 << (width - 2)
+    w2 = width - 2
+    np_cr, np_ci = _ladder_constants(size, width, "evenodd8")
+    strides = _ladder_strides(size, "evenodd8")
+    nb = size // 8
+    br = [wr[8 * i: 8 * i + 8] for i in range(nb)]
+    bi = ([None] * nb if zero_imag_stages > 0
+          else [wi[8 * i: 8 * i + 8] for i in range(nb)])
+
+    def hs(v):                       # the stage's wrap16(>>1); None stays 0
+        return None if v is None else _wrap16(v >> 1)
+
+    def add(a, b):
+        return b if a is None else (a if b is None else a + b)
+
+    def sub(a, b):
+        return (a if b is None else (-b if a is None else a - b))
+
+    def subs(i1, s):
+        """(sb1, sb2) of the x1 block i1 at stage s -- the 3-mult
+        butterfly's rounded cross terms (fft.py:152-180), with per-block
+        multiplier-free shortcuts where the twiddle block is unit / -j /
+        pure-real (trace-time facts of the numpy constants)."""
+        x1r, x1i = br[i1], bi[i1]
+        r1 = 8 * i1
+        crb, cib = np_cr[r1: r1 + 8, s], np_ci[r1: r1 + 8, s]
+        if (crb == unit).all() and (cib == 0).all():
+            return x1r, x1i                        # tw == 1 exactly
+        if (crb == 0).all() and (cib == -unit).all():
+            return x1i, (None if x1r is None else -x1r)   # tw == -j exactly
+        tw1 = tw_ref[r1: r1 + 8, s: s + 1]
+        if (cib == 0).all():
+            # pure-real block: sb1 = (x1r*cr + bias) >> w2 and
+            # sb2 = (x1i*cr + bias) >> w2 -- the same integers the 3-mult
+            # form produces (its x1i*cr / x1r*ci terms cancel exactly)
+            sb1 = (x1r * tw1 + bias) >> w2
+            sb2 = None if x1i is None else (x1i * tw1 + bias) >> w2
+            return sb1, sb2
+        tc2 = tw_ref[r1: r1 + 8, 2 * L + s: 2 * L + s + 1]
+        if x1i is None:
+            u = x1r * tw1 + bias
+            return u >> w2, (u - x1r * tc2) >> w2
+        tc1 = tw_ref[r1: r1 + 8, L + s: L + s + 1]
+        u = (x1r + x1i) * tw1 + bias
+        return (u - x1i * tc1) >> w2, (u - x1r * tc2) >> w2
+
+    for s in range(L):
+        d = strides[s]
+        if s == L - 4:
+            # mid-ladder regroup (_regroup_perm) in group-local form:
+            # within each (half, y) 64-row group the bottom/top 3
+            # within-half index bits swap -- an 8x8 sublane-block
+            # transpose per group; all-None groups stay None
+            m = size // 128
+
+            def _rg(blocks):
+                out = list(blocks)
+                for b2 in (0, 1):
+                    off = b2 * (nb // 2)
+                    for y in range(m):
+                        grp = [blocks[off + x * m + y] for x in range(8)]
+                        if all(g is None for g in grp):
+                            continue
+                        v = jnp.concatenate(
+                            [jnp.zeros((8, lanes), jnp.int32)
+                             if g is None else g for g in grp], axis=0)
+                        v = (v.reshape(8, 8, lanes).swapaxes(0, 1)
+                              .reshape(8 * 8, lanes))
+                        for z in range(8):
+                            out[off + z * m + y] = v[8 * z: 8 * z + 8]
+                return out
+
+            br, bi = _rg(br), _rg(bi)
+        nbk = d // 8
+        pairs = [(g * 2 * nbk + t, g * 2 * nbk + nbk + t)
+                 for g in range(size // (2 * d)) for t in range(nbk)]
+        if final_half_only and s == L - 1:
+            # only the even-output half (the non-conjugate bins) is
+            # consumed downstream: compute just the x0 outputs
+            outr, outi = [], []
+            for i0, i1 in pairs:
+                sb1, sb2 = subs(i1, s)
+                outr.append(hs(add(br[i0], sb1)))
+                outi.append(hs(add(bi[i0], sb2)))
+            zero = jnp.zeros((8, lanes), jnp.int32)
+            return (jnp.concatenate([zero if b is None else b
+                                     for b in outr], axis=0),
+                    jnp.concatenate([zero if b is None else b
+                                     for b in outi], axis=0))
+        nr, ni = [None] * nb, [None] * nb
+        for i0, i1 in pairs:
+            sb1, sb2 = subs(i1, s)
+            x0r, x0i = br[i0], bi[i0]
+            nr[i0], nr[i1] = hs(add(x0r, sb1)), hs(sub(x0r, sb1))
+            ni[i0], ni[i1] = hs(add(x0i, sb2)), hs(sub(x0i, sb2))
+        br, bi = nr, ni
+    zero = jnp.zeros((8, lanes), jnp.int32)
+    return (jnp.concatenate([zero if b is None else b for b in br], axis=0),
+            jnp.concatenate([zero if b is None else b for b in bi], axis=0))
+
+
 def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
             zero_imag_stages: int = 0, layout: str = "natural",
             final_half_only: bool = False):
@@ -312,6 +442,10 @@ def _ladder(wr, wi, tw_ref, size: int, width: int = 16,
     constants) -- those stages skip every imaginary-side op, and a real-only
     value is threaded (the real-input FFT's first stages, where wi stays 0
     exactly: sub2 = (0 + bias - 0) >> (width-2) = 0 and x0i = 0)."""
+    if LADDER_BLOCKS and layout == "evenodd8":
+        # block form (round 5g): every evenodd8 stride is a multiple of 8
+        return _ladder_blocks(wr, wi, tw_ref, size, width,
+                              zero_imag_stages, final_half_only)
     L = int(np.log2(size))
     bias = (1 << (width - 3)) - 1
     unit = 1 << (width - 2)                # the table's exact-one twiddle

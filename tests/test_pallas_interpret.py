@@ -118,16 +118,38 @@ def test_interpret_int_v3_alt_limb_radix(cpu, sig2):
 def test_interpret_int_v3_slice_thresholds(cpu, sig2, thr):
     """Non-default slice-form thresholds stay bit-exact: None = the pure
     roll+select ladder, 8 = slice-form down to the sub-vreg boundary (the
-    shipped default is 16; chip A/B round 5c measured all within ~2%)."""
+    shipped default is 16; chip A/B round 5c measured all within ~2%).
+    LADDER_BLOCKS is forced off so the roll/slice stage loop actually
+    executes (the shipped block form dispatches before it)."""
     saved = pallas_int.SLICE_MIN_STRIDE
+    saved_b = pallas_int.LADDER_BLOCKS
     try:
         pallas_int.SLICE_MIN_STRIDE = thr
+        pallas_int.LADDER_BLOCKS = False
         with jax.default_device(cpu):
             got = np.asarray(pallas_int.mfcc_int_pallas_v3(
                 sig2.astype(np.int32), CFG, interpret=True))
         assert np.array_equal(got, _int_want(sig2))
     finally:
         pallas_int.SLICE_MIN_STRIDE = saved
+        pallas_int.LADDER_BLOCKS = saved_b
+
+
+@pytest.mark.parametrize("blocks", [True, False])
+def test_interpret_int_v3_ladder_blocks(cpu, sig2, blocks):
+    """The block-form ladder (LADDER_BLOCKS, the shipped default -- chip
+    A/B round 5g: 40.3 vs 37.4 Mf/s) and the roll/slice fallback are both
+    bit-exact vs the oracle; both forms must stay green since non-evenodd8
+    sizes (the 64-pt DCT half) always take the fallback."""
+    saved = pallas_int.LADDER_BLOCKS
+    try:
+        pallas_int.LADDER_BLOCKS = blocks
+        with jax.default_device(cpu):
+            got = np.asarray(pallas_int.mfcc_int_pallas_v3(
+                sig2.astype(np.int32), CFG, interpret=True))
+        assert np.array_equal(got, _int_want(sig2))
+    finally:
+        pallas_int.LADDER_BLOCKS = saved
 
 
 def test_interpret_int_v3_pack32(cpu, sig2):
