@@ -445,7 +445,13 @@ def f64ish_gate_err(cfg):
         got = np.asarray(fn(jnp.asarray(sig), jnp.float32(0.0)))
         tol = np.maximum(F64ISH_GATE,
                          2 * np.abs(want) * np.finfo(np.float32).eps)
-        worst = max(worst, float((np.abs(want - got) / tol).max()))
+        err = float((np.abs(want - got) / tol).max())
+        # NaN/Inf in the output must FAIL the gate -- Python's
+        # max(0.0, nan) silently returns 0.0 (found by the round-5h A/B:
+        # a stale-LUT bug produced NaNs that read as a 0.000 PASS)
+        if not np.isfinite(err):
+            return float("inf")
+        worst = max(worst, err)
     return worst
 
 

@@ -51,6 +51,13 @@ W_BITS = 50       # DFT weight quantization (df32._int_limb_matmul default)
 X_GRID = 5        # wire samples lie exactly on the 2^-5 grid
 LIMB = 8          # balanced signed limb radix (bf16-exact, 2^24-safe sums)
 
+# Two-level log2 LUT (round 5h): the 65-entry df32 LUT (130 broadcast
+# selects -- the fused kernel's measured VPU bottleneck) factored as
+# c = c1 * c2 with an exact product, cutting the lookup to 8 + 9 entries
+# (34 selects) at an unchanged residual bound; see _log2_df.  False =
+# the flat 65-entry grid (round-5b ship), kept for A/B.
+LOG2_TWO_LEVEL = True
+
 
 # ---------------------------------------------------------------------------
 # Host-side constants
@@ -79,7 +86,7 @@ def _np_split12(W: np.ndarray):
 
 
 @functools.lru_cache(maxsize=None)
-def _df32_operators(cfg: MFCCConfig):
+def _df32_operators(cfg: MFCCConfig, two_level: bool = True):
     """Kernel operands:
       wst   (n_w * 2nb, nfft) bf16: row-stacked balanced 8-bit weight limbs
             of round(CS^T * 2^W_BITS) (CS = windowed rDFT, Nyquist bin
@@ -111,8 +118,18 @@ def _df32_operators(cfg: MFCCConfig):
     dwl = np.ascontiguousarray((dct64 - dh.astype(np.float64))
                                .astype(np.float32))
 
-    lut_n = 64
-    l64 = np.log2(1.0 + np.arange(lut_n + 1) / lut_n)
+    if two_level:
+        # two-level factored LUT (round 5h): c = c1*c2 with c1 = 1 + a/8
+        # (a = top 3 mantissa bits) and c2 = 1 + b/64 (b in [0, 8]) --
+        # log2(c) = log2(c1) + log2(c2), so the kernel selects over
+        # 8 + 9 df32 entries instead of 65 (columns [0:8] = level 1,
+        # [8:17] = level 2)
+        l1 = np.log2(1.0 + np.arange(8) / 8.0)
+        l2 = np.log2(1.0 + np.arange(9) / 64.0)
+        l64 = np.concatenate([l1, l2])
+    else:
+        lut_n = 64
+        l64 = np.log2(1.0 + np.arange(lut_n + 1) / lut_n)
     lhi = l64.astype(np.float32)
     lut = np.stack([lhi, (l64 - lhi.astype(np.float64)).astype(np.float32)])
 
@@ -182,27 +199,60 @@ def _df_matmul_left(wa_ref, wb_ref, wl_ref, wh_ref, Xh, Xl, G):
     return s, e
 
 
-def _log2_df(mh, ml, lut_ref):
-    """df32 log2 without transcendentals (df32._log2_df); the 65-entry LUT
-    gather becomes 65 broadcast selects (no gather primitive in Mosaic)."""
-    lut_n = 64
+def _log2_df(mh, ml, lut_ref, two_level: bool):
+    """df32 log2 without transcendentals (df32._log2_df restated); Mosaic
+    has no gather, so LUT lookups are lane-broadcast selects.
+
+    Two-level form (LOG2_TWO_LEVEL, round 5h): reduce by c = c1 * c2 with
+    c1 = 1 + a/8 read straight off the top 3 mantissa bits (a bit-mask,
+    no selects) and c2 = 1 + b/64, b = round(64 * (u - c1) / c1) in
+    [0, 8].  The product has <= 10 mantissa bits, so c is EXACT in f32,
+    d = u - c is exact by Sterbenz (c in [u/2, 2u]), |v| = |d/c| <= 2^-7
+    -- the same residual bound as the flat 65-entry grid -- and
+    log2(c) = log2(c1) + log2(c2) exactly, so the lookup is 8 + 9 df32
+    entries (34 selects) instead of 65 (130 selects)."""
     xi = jax.lax.bitcast_convert_type(mh, jnp.int32)
     k = (xi >> 23) - 127
     u = jax.lax.bitcast_convert_type(
         (xi & jnp.int32(0x7FFFFF)) | jnp.int32(127 << 23), jnp.float32)
-    i = ((u - 1.0) * lut_n + 0.5).astype(jnp.int32)   # round: u-1 in [0,1)
-    c = 1.0 + i.astype(jnp.float32) * np.float32(1.0 / lut_n)
-    d = u - c                                         # exact: same binade
+    if two_level:
+        a = (xi >> 20) & 7                 # top 3 mantissa bits
+        c1 = jax.lax.bitcast_convert_type(
+            (xi & jnp.int32(0x700000)) | jnp.int32(127 << 23), jnp.float32)
+        w = u - c1                         # exact (Sterbenz, same binade)
+        b = (w / c1 * 64.0 + 0.5).astype(jnp.int32)       # [0, 8]
+        c = c1 * (1.0 + b.astype(jnp.float32) * np.float32(1.0 / 64.0))
+        d = u - c                          # exact (Sterbenz; c exact f32)
+    else:
+        i = ((u - 1.0) * 64 + 0.5).astype(jnp.int32)   # round: u-1 in [0,1)
+        c = 1.0 + i.astype(jnp.float32) * np.float32(1.0 / 64.0)
+        d = u - c                                      # exact: same binade
     v = d / c
     v2 = v * v
     p = v * (1.0 - v * (0.5 - v * np.float32(1.0 / 3.0))) \
         - v2 * v2 * np.float32(0.25)
-    hi_i = jnp.zeros_like(mh)
-    lo_i = jnp.zeros_like(mh)
-    for t in range(lut_n + 1):
-        sel = i == t
-        hi_i = jnp.where(sel, lut_ref[0, t], hi_i)
-        lo_i = jnp.where(sel, lut_ref[1, t], lo_i)
+    if two_level:
+        h1 = jnp.zeros_like(mh)
+        l1 = jnp.zeros_like(mh)
+        for t in range(8):
+            sel = a == t
+            h1 = jnp.where(sel, lut_ref[0, t], h1)
+            l1 = jnp.where(sel, lut_ref[1, t], l1)
+        h2 = jnp.zeros_like(mh)
+        l2 = jnp.zeros_like(mh)
+        for t in range(9):
+            sel = b == t
+            h2 = jnp.where(sel, lut_ref[0, 8 + t], h2)
+            l2 = jnp.where(sel, lut_ref[1, 8 + t], l2)
+        hi_i, e12 = _two_sum(h1, h2)
+        lo_i = l1 + l2 + e12
+    else:
+        hi_i = jnp.zeros_like(mh)
+        lo_i = jnp.zeros_like(mh)
+        for t in range(65):
+            sel = i == t
+            hi_i = jnp.where(sel, lut_ref[0, t], hi_i)
+            lo_i = jnp.where(sel, lut_ref[1, t], lo_i)
     s, e = _two_sum(k.astype(jnp.float32), hi_i)
     corr = lo_i + p * np.float32(1.4426950408889634) \
         + ml / (mh * np.float32(np.log(2.0)))
@@ -215,7 +265,7 @@ def _log2_df(mh, ml, lut_ref):
 
 def _f64ish_kernel(x_ref, wst_ref, mwa_ref, mwb_ref, mwl_ref, mwh_ref,
                    dwa_ref, dwb_ref, dwl_ref, dwh_ref, lut_ref, out_ref,
-                   *, nfft, n_w, L):
+                   *, nfft, n_w, L, two_level):
     nb = nfft // 2
     x = x_ref[0]                                   # (nfft, L) f32, exact grid
     # exact integer view on the 2^-X_GRID grid; |xi| < 2^21 -> 3 limbs
@@ -254,7 +304,7 @@ def _f64ish_kernel(x_ref, wst_ref, mwa_ref, mwb_ref, mwl_ref, mwh_ref,
 
     mh, ml = _df_matmul_left(mwa_ref, mwb_ref, mwl_ref, mwh_ref,
                              pw_h, pw_l, 32)
-    y_h, y_l = _log2_df(mh, ml, lut_ref)
+    y_h, y_l = _log2_df(mh, ml, lut_ref, two_level)
     out_h, out_l = _df_matmul_left(dwa_ref, dwb_ref, dwl_ref, dwh_ref,
                                    y_h, y_l, 8)
     out_ref[0] = out_h + out_l
@@ -295,10 +345,12 @@ def mfcc_f64ish_pallas_frames(frames: jnp.ndarray,
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
     xT = x.reshape(nblocks, BF, nfft).swapaxes(-1, -2)     # (nbk, nfft, BF)
 
-    wst, n_w, melp, dctp, lut = _df32_operators(cfg)
+    two_level = LOG2_TWO_LEVEL    # read once: table and kernel must agree
+    wst, n_w, melp, dctp, lut = _df32_operators(cfg, two_level)
     consts = [jnp.asarray(a) for a in (wst, *melp, *dctp, lut)]
     out = pl.pallas_call(
-        functools.partial(_f64ish_kernel, nfft=nfft, n_w=n_w, L=BF),
+        functools.partial(_f64ish_kernel, nfft=nfft, n_w=n_w, L=BF,
+                          two_level=two_level),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((1, nfft, BF), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM)] +
