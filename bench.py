@@ -274,6 +274,11 @@ def resolve_base(cfg, kind):
         return lambda a: pallas_mfcc.mfcc_pallas_recomp_t(a, cfg)
     if kind in ("pallas-radix2", "pallas-radix2-i16"):
         return lambda a: pallas_mfcc.mfcc_pallas_radix2(a, cfg)
+    if kind == "pallas-fladder-i16":
+        # the f32 block-ladder kernel (round 5i): the FFT as VPU block
+        # butterflies instead of the 6-pass bf16-limb MXU split-DFT
+        from mfcc_tpu.ops import pallas_fladder
+        return lambda a: pallas_fladder.mfcc_float_ladder_pallas(a, cfg)
     if kind == "pallas-radix2-fast-i16":
         # the opt-in 3-pass fast mode, now a per-call parameter
         # (MFCC(precision="fast") routes here)
@@ -814,9 +819,9 @@ def main():
         # compile budget bounded
         # fmaj: the zero-relayout frame-major kernel (full-DFT cost traded
         # for no input transposes -- the round-3h input-path finding)
-        candidates = ["pallas-radix2-i16", "pallas-fmaj-i16",
-                      "pallas-radix2", "pallas-recomp-t-i16",
-                      "pallas-recomp-bf16", "dft"]
+        candidates = ["pallas-fladder-i16", "pallas-radix2-i16",
+                      "pallas-fmaj-i16", "pallas-radix2",
+                      "pallas-recomp-t-i16", "pallas-recomp-bf16", "dft"]
 
     F = cfg.n_frames(T)
     x = jax.device_put(jnp.asarray(make_audio(S, T)))

@@ -62,13 +62,23 @@ class MFCC:
         # default whenever the caller asked for the default spec; any
         # explicit method/precision/dtype/mel_floor choice is honored via
         # the XLA formulations, as are non-default frame geometries
-        from .ops import pallas_mfcc
+        from .ops import pallas_mfcc, pallas_fladder
         fused_ok = (method == "dft" and dtype == jnp.float32
                     and mel_floor == 0.0
                     and pallas_mfcc.pallas_float_supported(cfg))
         fast = precision == "fast"
-        if fused_ok and (precision == "highest"
-                         or (fast and cfg.hop % 2 == 0)):
+        if (method == "dft" and dtype == jnp.float32
+                and precision == "highest"
+                and pallas_fladder.pallas_fladder_supported(cfg)):
+            # the f32 block-ladder kernel (round 5i): +10% over the
+            # split-DFT form AND an order of magnitude tighter FFT
+            # rounding (the bf16-limb DFT error term vanishes); handles
+            # mel_floor natively
+            float_batch = functools.partial(
+                pallas_fladder.mfcc_float_ladder_pallas, cfg=cfg,
+                mel_floor=mel_floor)
+        elif fused_ok and (precision == "highest"
+                           or (fast and cfg.hop % 2 == 0)):
             kern = (pallas_mfcc.mfcc_pallas_radix2 if cfg.hop % 2 == 0
                     else pallas_mfcc.mfcc_pallas_recomp_t)
             if cfg.hop % 2 == 0:

@@ -78,6 +78,44 @@ def test_interpret_float_recomp_t(cpu, sig2):
     assert np.abs(got - _float_want(sig2)).max() < 5e-4
 
 
+def test_interpret_float_ladder(cpu, sig2):
+    """The f32 block-ladder kernel (ops/pallas_fladder, round 5i -- the
+    shipped precision="highest" batch default on TPU): the ladder rounds
+    like a plain f32 FFT, so the interpret (pure-f32) error is ~1e-5,
+    an order of magnitude inside the 5e-4 contract (the split-DFT
+    kernel's bf16-limb error term does not exist here)."""
+    from mfcc_tpu.ops import pallas_fladder
+    with jax.default_device(cpu):
+        got = np.asarray(pallas_fladder.mfcc_float_ladder_pallas(
+            sig2, CFG, interpret=True))
+    assert np.abs(got - _float_want(sig2)).max() < 5e-5   # 10x headroom
+
+
+def test_interpret_float_ladder_nfft256(cpu):
+    """The ladder kernel generalizes over the evenodd8 nfft family; check
+    the 256-point geometry (L=8, different regroup m) against the
+    oracle."""
+    from mfcc_tpu.config import MFCCConfig
+    from mfcc_tpu.ops import pallas_fladder
+    cfg = MFCCConfig(nfft=256, step=86)
+    assert pallas_fladder.pallas_fladder_config_ok(cfg)
+    # rich tonal fixture (the bench's make_audio shape): flat white noise
+    # at nfft=256 leaves near-zero mel bins whose log2 is ill-conditioned
+    # for EVERY float formulation (the XLA chain shows 1e-3 there too)
+    rng = np.random.default_rng(5)
+    T = 256 + 9 * 86
+    t = np.arange(T) / 16000.0
+    base = (9000 * np.sin(2 * np.pi * (200 + 3000 * t) * t)
+            + 4000 * np.sin(2 * np.pi * 900 * t))
+    sig = np.round(np.clip(base[None] + rng.integers(-1500, 1500, (2, T)),
+                           -32768, 32767)).astype(np.float32)
+    want = np.stack([float_ref.mfcc_float(sig[i], cfg) for i in range(2)])
+    with jax.default_device(cpu):
+        got = np.asarray(pallas_fladder.mfcc_float_ladder_pallas(
+            sig, cfg, interpret=True))
+    assert np.abs(got - want).max() < 5e-5
+
+
 def test_interpret_float_frames(cpu, sig2):
     from mfcc_tpu.ops import framing
     emph = framing.preemphasis(np.asarray(sig2, np.float32))
