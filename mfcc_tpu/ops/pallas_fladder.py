@@ -239,7 +239,15 @@ def _fblk_kernel(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, mel_ref,
                 Eev[:he, lane: lane + bf]
             fbuf[half + p0 // 2: half + p0 // 2 + ho,
                  b * bf:(b + 1) * bf] = Eod[:ho, lane: lane + bf]
-    xw = fbuf[:] * wincol_ref[:]                       # window * (1/nfft)
+    out_ref[0] = _fladder_tail(fbuf[:], wincol_ref, tw_ref, mel_ref,
+                               dct_ref, nfft, mel_floor)
+
+
+def _fladder_tail(x, wincol_ref, tw_ref, mel_ref, dct_ref, nfft: int,
+                  mel_floor: float):
+    """window -> ladder -> power -> mel -> log2 -> DCT on a sigma-layout
+    (nfft, L) f32 buffer; shared by the batch and streaming kernels."""
+    xw = x * wincol_ref[:]                             # window * (1/nfft)
     re, im = _fladder_half(xw, tw_ref, nfft)
     power = re * re + im * im                          # (nfft/2, L)
     melspec = jnp.dot(mel_ref[:], power,
@@ -248,9 +256,9 @@ def _fblk_kernel(xm_ref, xx_ref, prev_ref, wincol_ref, tw_ref, mel_ref,
     if mel_floor:
         melspec = jnp.maximum(melspec, jnp.float32(mel_floor))
     logmel = jnp.log2(melspec)
-    out_ref[0] = jnp.dot(dct_ref[:], logmel,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(dct_ref[:], logmel,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def pallas_fladder_config_ok(cfg: MFCCConfig) -> bool:

@@ -124,6 +124,13 @@ def _barrel_sublane(x, start_row, Wp: int, nbits: int):
 # bit-exact-tested (test_stream_kernel_chunk_layouts_agree).
 STREAM_CHUNK_T = False
 
+# Float streaming step tail: True = the f32 block-ladder FFT
+# (ops/pallas_fladder, round 5i -- the batch kernel's +10% contract win),
+# False = the radix-2 split-DFT core (round-3a ship).  Applies only to
+# the contract path (dft_passes == 6) on the ladder's geometry family;
+# the 3-pass fast mode always rides the split-DFT.
+STREAM_FLADDER = True
+
 
 def _resolve_chunk_layout(chunk_layout):
     if chunk_layout is None:
@@ -185,6 +192,46 @@ def _stream_float_kernel(buf_ref, chk_ref, start_ref, prev_ref,
                               tws_ref, mela_ref, melb_ref, melc_ref,
                               dct_ref, L, mel_floor=mel_floor,
                               dft_passes=dft_passes)
+
+
+def _stream_fladder_kernel(buf_ref, chk_ref, start_ref, prev_ref,
+                           wincol_ref, tw_ref, mel_ref, dct_ref,
+                           out_ref, nbuf_ref, abuf, fbuf, *,
+                           nfft, hop, P, C, Wp, F, nbits, bs,
+                           chunk_t=False, mel_floor=0.0):
+    """Float streaming step with the f32 block-ladder tail (round 5i):
+    the INT stream kernel's sigma-layout frame fill + pallas_fladder's
+    window/ladder/power/mel/log2/DCT tail, replacing the split-DFT."""
+    from .pallas_fladder import _fladder_tail, EMPH
+    Ct = _rref(chk_ref)
+    if Ct.dtype != jnp.float32:
+        Ct = Ct.astype(jnp.float32)        # int16 wire input: upcast in VMEM
+    if chunk_t:                            # (bs, C) block: HW transpose
+        Ct = Ct.T
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C, bs), 0)
+    up = pltpu.roll(Ct, 1, 0)
+    pr = jnp.where(rows == 0, _rref(prev_ref), up)
+    E = Ct - EMPH * pr
+    abuf[0:P, :] = _rref(buf_ref)
+    abuf[P: P + C, :] = E
+    if Wp > P + C:
+        abuf[P + C:, :] = jnp.zeros((Wp - P - C, bs), jnp.float32)
+    if len(nbuf_ref.shape) == 3:
+        nbuf_ref[0] = abuf[C: C + P, :]
+    else:
+        nbuf_ref[:] = abuf[C: C + P, :]
+    x = _barrel_sublane(abuf[:], _rref(start_ref), Wp, nbits)
+    xs = x.reshape(Wp // 2, 2, bs)
+    Eev, Eod = xs[:, 0], xs[:, 1]
+    L = F * bs
+    half = nfft // 2
+    for f in range(F):
+        r0 = (f * hop) // 2
+        # sigma row layout: [even positions | odd positions]
+        fbuf[0:half, f * bs:(f + 1) * bs] = Eev[r0: r0 + half, :]
+        fbuf[half:, f * bs:(f + 1) * bs] = Eod[r0: r0 + half, :]
+    out_ref[0] = _fladder_tail(fbuf[:], wincol_ref, tw_ref, mel_ref,
+                               dct_ref, nfft, mel_floor)
 
 
 def _stream_int_kernel(buf_ref, chk_ref, start_ref, prev_ref,
@@ -342,19 +389,37 @@ def stream_step_float(buffer, chunk, start, prev,
            else _pad_streams(chunk, Sp).T)
     startr = _pad_streams(start.astype(jnp.int32)[:, None], Sp).T
     prevr = _pad_streams(prev.astype(jnp.float32)[:, None], Sp).T
-    consts = [jnp.asarray(a)
-              for a in _radix2_operators(cfg, _resolve_pack256(None))]
+    from .pallas_fladder import (pallas_fladder_config_ok,
+                                 _fladder_constants, _float_operators)
+    use_ladder = (STREAM_FLADDER and dft_passes == 6
+                  and pallas_fladder_config_ok(cfg))
+    if use_ladder:
+        wincol, melP, dctP = _float_operators(cfg)
+        twf, _, _ = _fladder_constants(nfft)
+        consts = [jnp.asarray(a) for a in (wincol, twf, melP, dctP)]
+    else:
+        consts = [jnp.asarray(a)
+                  for a in _radix2_operators(cfg, _resolve_pack256(None))]
     L = F * bs
 
     chunk_t = layout == "stream"
     ins, in_specs, nbuf_spec, nbuf_shape = _stream_operand_layout(
         [bufT, chk, startr, prevr], bs, nb, Sp, jnp.float32,
         chunk_t=chunk_t)
+    if use_ladder:
+        kern = functools.partial(_stream_fladder_kernel, nfft=nfft,
+                                 hop=hop, P=P, C=C, Wp=Wp, F=F,
+                                 nbits=nbits, bs=bs, chunk_t=chunk_t,
+                                 mel_floor=mel_floor)
+        tail_scratch = pltpu.VMEM((nfft, L), jnp.float32)
+    else:
+        kern = functools.partial(_stream_float_kernel, nfft=nfft, hop=hop,
+                                 P=P, C=C, Wp=Wp, F=F, nbits=nbits, bs=bs,
+                                 chunk_t=chunk_t, mel_floor=mel_floor,
+                                 dft_passes=dft_passes)
+        tail_scratch = pltpu.VMEM((nfft // 2, 2 * L), jnp.float32)
     out, nbuf = pl.pallas_call(
-        functools.partial(_stream_float_kernel, nfft=nfft, hop=hop, P=P,
-                          C=C, Wp=Wp, F=F, nbits=nbits, bs=bs,
-                          chunk_t=chunk_t, mel_floor=mel_floor,
-                          dft_passes=dft_passes),
+        kern,
         grid=(nb,),
         in_specs=in_specs + [
             pl.BlockSpec(a.shape, lambda n, nd=a.ndim: (0,) * nd,
@@ -370,7 +435,7 @@ def stream_step_float(buffer, chunk, start, prev,
         ],
         scratch_shapes=[
             pltpu.VMEM((Wp, bs), jnp.float32),
-            pltpu.VMEM((nfft // 2, 2 * L), jnp.float32),
+            tail_scratch,
         ],
         interpret=interpret,
     )(*ins, *consts)
