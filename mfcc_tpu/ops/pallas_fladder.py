@@ -281,10 +281,14 @@ def mfcc_float_ladder_pallas(audio: jnp.ndarray,
                              cfg: MFCCConfig = MFCCConfig(), *,
                              bf: int = BF, interpret: bool = False,
                              mel_floor: float = 0.0) -> jnp.ndarray:
-    """Fused float MFCC via the f32 block-ladder FFT: (S, T) int16-range
-    -> (S, F, nceptrums) f32.  Ingest/blocking mirrors
-    pallas_int.mfcc_int_pallas_v3 (positions-major i16 tiles, whole-stream
-    super-blocks)."""
+    """Fused float MFCC via the f32 block-ladder FFT: (S, T) ->
+    (S, F, nceptrums) f32.  Ingest/blocking mirrors
+    pallas_int.mfcc_int_pallas_v3 (positions-major tiles, whole-stream
+    super-blocks).  int16 input streams to the kernel AS int16 (the
+    16-bit wire contract, software/main.c:134-151) and upcasts in VMEM;
+    any other dtype is kept as f32 on the host (same policy as
+    mfcc_pallas_radix2) so float-valued audio -- e.g. normalized
+    [-1, 1] samples -- computes exactly, never truncated to int16."""
     assert pallas_fladder_config_ok(cfg)
     assert bf % 128 == 0
     lead = audio.shape[:-1]
@@ -304,7 +308,8 @@ def mfcc_float_ladder_pallas(audio: jnp.ndarray,
     N = S * nchunks
     L = nbk * bf
 
-    raw = audio.astype(jnp.int16)
+    raw = (audio if audio.dtype == jnp.int16
+           else audio.astype(jnp.float32))
     Lp = nchunks * nbk + 1
     need = Lp * bf * hop
     if need > T:
